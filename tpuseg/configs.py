@@ -1,0 +1,245 @@
+"""Typed dataclass config system with YAML + CLI-flag overrides.
+
+The reference has no config system: every knob is a hard-coded constant
+(dataset paths and input size at main.py:23-48, batch/lr/epochs at
+main.py:90-103, checkpoint paths at inference.py:24 / convert.py:23, the
+50/20/30 source mix at main.py:69-71, class maps inside each dataset file).
+Here those constants become documented defaults of typed dataclasses, with
+
+    cfg = load_config(argv)            # YAML file + --dotted.key=value flags
+
+Dotted CLI overrides: ``--train.batch_size=64 --model.num_classes=10``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture selection and hyperparameters."""
+
+    name: str = "mobilenetv2_unet"  # one of tpuseg.models.registry
+    num_classes: int = 10           # reference: main.py:98 (output_channels=10)
+    base_filters: int = 64          # UNet width (reference src/unet.py:125)
+    width_mult: float = 1.0         # MobileNetV2 width multiplier
+    # dtype policy: params always fp32; compute/activations may be bf16.
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Use fused Pallas kernels for hot blocks (pure-JAX fallback when False).
+    use_pallas: bool = False
+
+
+@dataclass
+class DatasetSourceConfig:
+    """One data source (BDD100K / CARLA / SEAME). ``kind`` selects the loader."""
+
+    kind: str = ""                       # "bdd100k" | "carla" | "seame" | "synthetic"
+    img_dir: str = ""
+    mask_dir: str = ""                   # bdd100k/carla
+    annotation_file: str = ""            # seame (JSON-lines polygons)
+    weight: float = 0.0                  # target sampling fraction (see mix below)
+    num_samples: int = 64                # synthetic only
+
+
+@dataclass
+class DataConfig:
+    """Input pipeline configuration.
+
+    Defaults mirror the reference: input 256x128 (W x H, main.py:23), source
+    mix 50% BDD100K / 20% SEAME / 30% CARLA (main.py:69-71 — realized
+    *correctly* here; the reference's weight loop drops the CARLA weight),
+    train-time augmentation = resize / hflip(.5) / shift-scale-rotate(.5) /
+    brightness-contrast(.5) / ImageNet-normalize (src/BDD100KDataset.py:39-46).
+    """
+
+    width: int = 256
+    height: int = 128
+    sources: Tuple[DatasetSourceConfig, ...] = ()
+    mix: Tuple[float, float, float] = (0.5, 0.2, 0.3)  # bdd / seame / carla
+    val_split: float = 0.0               # reference main.py:55
+    seed: int = 42                       # reference CombinedDataset.py:9
+    shuffle_buffer: int = 1024
+    prefetch: int = 2                    # batches prefetched to device
+    augment: bool = True                 # on-device augmentation when training
+    # Extended augmentation (the reference's augmentation.py pipeline, which
+    # was written but never wired in — here it is a real switch).
+    heavy_augment: bool = False
+    normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclass
+class TrainConfig:
+    """Training hyperparameters. Defaults = reference main.py:90-103."""
+
+    batch_size: int = 8                  # global batch (sharded over mesh)
+    lr: float = 1.5e-4                   # Adam (main.py:100)
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    epochs: int = 200                    # main.py:103
+    steps_per_epoch: int = 0             # 0 = derive from dataset size
+    log_every: int = 50
+    eval_every_epochs: int = 1
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 5
+    save_every_epochs: int = 1           # reference saves every epoch (train.py:77)
+    resume: bool = False
+    remat: bool = False                  # jax.checkpoint the encoder to save HBM
+    profile_dir: str = ""                # non-empty => jax.profiler trace
+    seed: int = 0
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh. data axis = DP; spatial axis = sharded-H conv (optional)."""
+
+    data: int = -1       # -1 = all devices
+    spatial: int = 1
+
+
+@dataclass
+class InferConfig:
+    """Video/batch inference. Reference: inference.py (batch=1 serial loop)."""
+
+    checkpoint: str = ""
+    video: str = "assets/road2.mp4"      # reference default asset that exists
+    output: str = ""                     # output video path ("" = no write)
+    batch_size: int = 8                  # batched, double-buffered pipeline
+    display: bool = False                # cv2.imshow (reference behavior)
+    # postprocess toggles (reference inference.py:75-141)
+    road_cleanup: bool = True            # morphology close + keep-largest-CC
+    car_boxes: bool = True               # contour bboxes + distance labels
+    min_car_area: float = 300.0
+    blend_alpha: float = 0.4             # addWeighted(image,.6,overlay,.4)
+
+
+@dataclass
+class ExportConfig:
+    """Export/quantization. Replaces convert.py's ONNX path with StableHLO."""
+
+    checkpoint: str = ""
+    output: str = "exported/model.stablehlo"
+    format: str = "stablehlo"            # "stablehlo" | "tflite" | "savedmodel"
+    dtype: str = "float32"               # "float32" | "float16" | "int8"
+    batch: int = -1                      # -1 = symbolic/dynamic batch dim
+    calib_batches: int = 8               # int8 PTQ calibration batches
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+    export: ExportConfig = field(default_factory=ExportConfig)
+
+
+# ---------------------------------------------------------------------------
+# Loading / overriding
+
+
+def _coerce(value: str, target_type: Any) -> Any:
+    """Parse a CLI string into the annotated field type."""
+    if target_type is bool or isinstance(target_type, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    if target_type is str:
+        return value
+    # tuples and other structured values: JSON
+    try:
+        parsed = json.loads(value)
+        if isinstance(parsed, list):
+            return tuple(parsed)
+        return parsed
+    except json.JSONDecodeError:
+        return value
+
+
+def _set_dotted(cfg: Any, dotted: str, value: str) -> None:
+    parts = dotted.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"Unknown config section {p!r} in --{dotted}")
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not dataclasses.is_dataclass(obj) or leaf not in {
+        f.name for f in dataclasses.fields(obj)
+    }:
+        raise KeyError(f"Unknown config key {leaf!r} in --{dotted}")
+    ftype = {f.name: f.type for f in dataclasses.fields(obj)}[leaf]
+    current = getattr(obj, leaf)
+    target = type(current) if current is not None else ftype
+    setattr(obj, leaf, _coerce(value, target))
+
+
+def _apply_dict(obj: Any, d: dict) -> None:
+    names = {f.name for f in dataclasses.fields(obj)}
+    for k, v in d.items():
+        if k not in names:
+            raise KeyError(f"Unknown config key {k!r} for {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _apply_dict(cur, v)
+        elif k == "sources" and isinstance(v, list):
+            setattr(
+                obj, k, tuple(DatasetSourceConfig(**src) for src in v)
+            )
+        elif isinstance(v, list):
+            setattr(obj, k, tuple(v))
+        else:
+            setattr(obj, k, v)
+
+
+def load_config(argv: Optional[Sequence[str]] = None) -> Config:
+    """Build a Config from an optional YAML file plus --dotted.key=value flags.
+
+    ``--config path.yaml`` loads a YAML (or JSON) file first; remaining flags
+    override individual fields, e.g. ``--train.lr=3e-4 --mesh.data=8``.
+    """
+    cfg = Config()
+    argv = list(argv or [])
+    # first pass: --config
+    remaining = []
+    it = iter(range(len(argv)))
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--config" or a.startswith("--config="):
+            path = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            i += 1 if "=" in a else 2
+            with open(path) as f:
+                text = f.read()
+            try:
+                import yaml  # type: ignore
+
+                d = yaml.safe_load(text)
+            except ImportError:  # pragma: no cover - yaml is available here
+                d = json.loads(text)
+            _apply_dict(cfg, d or {})
+        else:
+            remaining.append(a)
+            i += 1
+    # second pass: dotted overrides
+    for a in remaining:
+        if not a.startswith("--"):
+            raise ValueError(f"Unrecognized argument {a!r} (expected --key=value)")
+        body = a[2:]
+        if "=" not in body:
+            raise ValueError(f"Flag {a!r} needs =value")
+        key, value = body.split("=", 1)
+        _set_dotted(cfg, key, value)
+    return cfg
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)

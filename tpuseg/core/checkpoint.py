@@ -1,0 +1,75 @@
+"""Async, step-tagged checkpointing (Orbax) with resume.
+
+The reference saves only ``model.state_dict()`` once per epoch and has no
+resume path (src/train.py:77; consumers hard-code epoch files at
+inference.py:24 / convert.py:23). Here a checkpoint is the full training
+state — params, BatchNorm statistics, optimizer state, step counter, and the
+data-pipeline RNG position — saved asynchronously so the TPU never waits on
+the filesystem, with a retention policy, plus ``latest_step()`` for resume
+(SURVEY.md §5.3/§5.4: preemption safety comes from frequent async saves).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax CheckpointManager for one state pytree."""
+
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 5,
+        async_save: bool = True,
+    ):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            enable_async_checkpointing=async_save,
+        )
+        self._mgr = ocp.CheckpointManager(directory, options=options)
+
+    def save(self, step: int, state: Any, force: bool = False) -> bool:
+        return self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+
+    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        """Restore ``step`` (default: latest). ``template`` is an abstract or
+        concrete pytree with the target structure/shardings."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        if template is not None:
+            abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract)
+            )
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_steps(self):
+        return self._mgr.all_steps()
+
+    def wait(self):
+        """Block until in-flight async saves are durable."""
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.wait()
+        self.close()

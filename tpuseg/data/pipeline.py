@@ -1,0 +1,129 @@
+"""Host -> device input pipeline: background batcher + device prefetch.
+
+The reference overlaps data loading with compute via DataLoader worker
+processes (main.py:90-95). On a TPU host with one CPU core, process pools
+lose; instead one producer THREAD assembles uint8 numpy batches (decode +
+LUT remap + resize only — cv2 releases the GIL) into a bounded queue, and
+the consumer transfers them to device sharded over the mesh's "data" axis.
+All numeric work (normalize, augment) happens on device
+(tpuseg.data.augment), so the host path stays byte-thin: H*W*4 bytes/sample.
+
+Augmentation is applied by the caller (Trainer) as a separate jitted program
+so eval and inference can reuse the raw-uint8 batches.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+
+from tpuseg.core.mesh import batch_sharding
+from tpuseg.data.combined import CombinedDataset, WeightedMixSampler
+
+_STOP = object()
+
+
+class InputPipeline:
+    """Weighted-mix training batches + deterministic eval batches.
+
+    Yields (images uint8 [B,H,W,3], masks uint8 [B,H,W]) on device.
+    """
+
+    def __init__(
+        self,
+        combined: CombinedDataset,
+        batch_size: int,
+        height: int,
+        width: int,
+        mesh: Optional[Mesh] = None,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.combined = combined
+        self.sampler = WeightedMixSampler(combined, seed=seed)
+        self.batch_size = batch_size
+        self.height = height
+        self.width = width
+        self.mesh = mesh
+        self.prefetch = max(1, prefetch)
+        self._sharding: Optional[NamedSharding] = (
+            batch_sharding(mesh) if mesh is not None else None
+        )
+
+    # -- training ----------------------------------------------------------
+
+    def _assemble(self, picks) -> Tuple[np.ndarray, np.ndarray]:
+        imgs = np.empty((self.batch_size, self.height, self.width, 3), np.uint8)
+        msks = np.empty((self.batch_size, self.height, self.width), np.uint8)
+        i = 0
+        for sid, pos in picks:
+            sample = self.combined.load_train(sid, pos)
+            while sample is None:  # unreadable file: redraw (SURVEY.md §5.3)
+                sid, pos = self.sampler.sample(1)[0]
+                sample = self.combined.load_train(sid, pos)
+            imgs[i], msks[i] = sample
+            i += 1
+        return imgs, msks
+
+    def _put(self, batch):
+        if self._sharding is not None:
+            return tuple(jax.device_put(x, self._sharding) for x in batch)
+        return tuple(jax.device_put(x) for x in batch)
+
+    def train_batches(self, num_steps: int) -> Iterator[Tuple[jax.Array, jax.Array]]:
+        """Stream ``num_steps`` sharded device batches, produced by a
+        background thread through a bounded queue (single-producer /
+        single-consumer — SURVEY.md §5.2)."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            try:
+                for _ in range(num_steps):
+                    picks = self.sampler.sample(self.batch_size)
+                    q.put(self._assemble(picks))
+            finally:
+                q.put(_STOP)
+
+        t = threading.Thread(target=producer, daemon=True, name="tpuseg-loader")
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is _STOP:
+                break
+            yield self._put(batch)
+        t.join()
+
+    # -- evaluation --------------------------------------------------------
+
+    def eval_batches(self) -> Iterator[Tuple[jax.Array, jax.Array, int]]:
+        """Deterministic pass over the val split in fixed-size batches.
+
+        The last partial batch is zero-padded to keep shapes static (one XLA
+        program); the true count ``n`` is yielded so metrics can mask padding.
+        """
+        imgs = np.zeros((self.batch_size, self.height, self.width, 3), np.uint8)
+        msks = np.zeros((self.batch_size, self.height, self.width), np.uint8)
+        n = 0
+        for image, mask in self.combined.iter_val():
+            imgs[n], msks[n] = image, mask
+            n += 1
+            if n == self.batch_size:
+                yield (*self._put((imgs.copy(), msks.copy())), n)
+                n = 0
+        if n > 0:
+            imgs[n:] = 0
+            msks[n:] = 0
+            yield (*self._put((imgs.copy(), msks.copy())), n)
+
+    # -- checkpointable state ----------------------------------------------
+
+    def state(self) -> dict:
+        return {"sampler": self.sampler.state()}
+
+    def restore(self, state: dict) -> None:
+        self.sampler.restore(state["sampler"])

@@ -1,0 +1,140 @@
+"""UNet building blocks as Flax modules (NHWC, TPU layout).
+
+Behavioral spec: the reference's block zoo at src/unet.py:53-121 —
+``double_conv`` (Conv3x3->BN->ReLU twice), ``inconv``, ``down``
+(MaxPool2 + double_conv), ``up`` (bilinear x2 **align_corners=False**,
+concat with skip FIRST, then double_conv; src/unet.py:94-105 — the skip
+tensor is the first concat operand, which fixes channel order for weight
+parity), and ``outconv`` (1x1 bottleneck head, src/unet.py:108-121).
+
+Torch-parity details baked in:
+- Conv2d uses bias=True (torch default) and padding=1 -> explicit ((1,1),(1,1)).
+- BatchNorm eps=1e-5; torch momentum 0.1 == flax momentum (decay) 0.9.
+- MaxPool2d(2) == max_pool window (2,2) stride (2,2) (floor mode).
+Layout is NHWC (channels-last) — the efficient TPU conv layout — whereas the
+reference is NCHW; the torch-weight importer transposes kernels accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpuseg.ops.resize import upsample2x_bilinear
+
+# torch BatchNorm2d defaults (src/unet.py uses nn.BatchNorm2d(out_ch) as-is)
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.9  # flax decay = 1 - torch momentum (0.1)
+
+
+class ConvBNAct(nn.Module):
+    """Conv -> BatchNorm -> activation. The universal fused unit.
+
+    XLA fuses the BN scale/shift and the activation into the conv epilogue;
+    at inference the BN folds into the conv weights entirely (see
+    tpuseg.export.quantize.fold_batchnorm).
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((1, 1), (1, 1))
+    groups: int = 1
+    use_bias: bool = True
+    act: Optional[Callable] = nn.relu
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding=self.padding,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x.astype(jnp.float32)).astype(self.dtype)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class DoubleConv(nn.Module):
+    """(Conv3x3 -> BN -> ReLU) x 2 — reference double_conv, src/unet.py:53-68."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNAct(self.features, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBNAct(self.features, dtype=self.dtype, name="conv2")(x, train)
+        return x
+
+
+class Down(nn.Module):
+    """MaxPool(2) then DoubleConv — reference down, src/unet.py:81-91."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+        return DoubleConv(self.features, dtype=self.dtype, name="conv")(x, train)
+
+
+class Up(nn.Module):
+    """Bilinear x2 (align_corners=False), concat [skip, upsampled], DoubleConv.
+
+    Reference up, src/unet.py:94-105. Channel order: skip first
+    (torch.cat([x2, x1]) at src/unet.py:103).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        x = upsample2x_bilinear(x, align_corners=False)
+        x = jnp.concatenate([skip, x], axis=-1)
+        return DoubleConv(self.features, dtype=self.dtype, name="conv")(x, train)
+
+
+class OutConv(nn.Module):
+    """Head: Conv1x1(in->in/2) -> BN -> ReLU -> Conv1x1(in/2->out).
+
+    Reference outconv, src/unet.py:108-121; logits have no activation.
+    """
+
+    features: int  # number of output classes
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        half = x.shape[-1] // 2
+        x = ConvBNAct(
+            half, kernel=(1, 1), padding="VALID", dtype=self.dtype, name="conv1"
+        )(x, train)
+        x = nn.Conv(
+            self.features,
+            (1, 1),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv2",
+        )(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,45 @@
+"""MobileNetV2UNet — the production model.
+
+Behavioral spec: reference src/unet.py:7-51. Encoder = MobileNetV2 feature
+stages tapped at 16/24/32/64/1280 channels (1/2..1/32 resolution); decoder =
+four ``up`` blocks with skip concats
+
+    up1: cat(64, 1280) -> 256     up2: cat(32, 256) -> 128
+    up3: cat(24, 128)  -> 64      up4: cat(16, 64)  -> 32
+
+then ``outconv(32 -> classes)`` and a final x2 bilinear upsample with
+**align_corners=True** (src/unet.py:30 — deliberately different from the
+align_corners=False upsamples inside the decoder, src/unet.py:97). Logits are
+returned at full input resolution, NHWC, float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpuseg.models.blocks import OutConv, Up
+from tpuseg.models.mobilenetv2 import MobileNetV2Encoder
+from tpuseg.ops.resize import upsample2x_bilinear
+
+
+class MobileNetV2UNet(nn.Module):
+    output_channels: int = 10
+    width_mult: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        x1, x2, x3, x4, x5 = MobileNetV2Encoder(
+            width_mult=self.width_mult, dtype=dt, name="backbone"
+        )(x, train)
+        y = Up(256, dtype=dt, name="up1")(x5, x4, train)
+        y = Up(128, dtype=dt, name="up2")(y, x3, train)
+        y = Up(64, dtype=dt, name="up3")(y, x2, train)
+        y = Up(32, dtype=dt, name="up4")(y, x1, train)
+        y = OutConv(self.output_channels, dtype=dt, name="outc")(y, train)
+        # final x2, align_corners=True (src/unet.py:30)
+        return upsample2x_bilinear(y.astype(jnp.float32), align_corners=True)

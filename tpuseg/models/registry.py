@@ -1,0 +1,40 @@
+"""Model registry: name -> constructor, driven by ModelConfig."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from tpuseg.configs import ModelConfig
+from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
+from tpuseg.models.unet import LightUNet, UNet
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+MODEL_REGISTRY: Dict[str, Callable] = {
+    "mobilenetv2_unet": lambda cfg: MobileNetV2UNet(
+        output_channels=cfg.num_classes,
+        width_mult=cfg.width_mult,
+        dtype=_dtype(cfg),
+    ),
+    "unet": lambda cfg: UNet(
+        output_channels=cfg.num_classes,
+        base_filters=cfg.base_filters,
+        dtype=_dtype(cfg),
+    ),
+    "light_unet": lambda cfg: LightUNet(
+        base_filters=cfg.base_filters or 32, dtype=_dtype(cfg)
+    ),
+}
+
+
+def build_model(cfg: ModelConfig):
+    if cfg.name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"Unknown model {cfg.name!r}; available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[cfg.name](cfg)

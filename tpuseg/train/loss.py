@@ -1,0 +1,27 @@
+"""Loss functions.
+
+The reference trains with ``nn.CrossEntropyLoss()`` (main.py:99) on logits
+[B, 10, H, W] vs int targets [B, H, W] — i.e. mean over every pixel of
+-log_softmax(logits)[target], no ignore_index, no class weights. Exactly that,
+in NHWC.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean per-pixel softmax cross-entropy.
+
+    Args:
+      logits: [B, H, W, C] float logits.
+      targets: [B, H, W] int class indices.
+    Returns scalar float32 loss (parity with torch CrossEntropyLoss default
+    'mean' reduction over all pixels).
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)
+    return jnp.mean(nll)

@@ -1,0 +1,149 @@
+"""The jitted train/eval steps, sharded over the device mesh.
+
+The reference's per-batch work — zero_grad / forward / CE loss / backward /
+Adam step (src/train.py:35-39) — becomes ONE compiled XLA program: forward +
+backward + optimizer update, jitted with sharding annotations over the mesh.
+Data parallelism is expressed declaratively: the batch is sharded on the
+"data" axis, params/optimizer state are replicated, and XLA's SPMD partitioner
+inserts the gradient all-reduce (psum over ICI) — there is no hand-written
+communication anywhere (SURVEY.md §5.8).
+
+Unlike the reference's ``loss.item()`` device->host sync every step
+(src/train.py:41), metrics come back as device arrays that the caller fetches
+asynchronously.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh
+
+from tpuseg.core.mesh import batch_sharding, replicated_sharding
+from tpuseg.train.loss import cross_entropy_loss
+from tpuseg.train.metrics import confusion_matrix
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + BatchNorm running statistics."""
+
+    batch_stats: Any = None
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    input_shape,
+    lr: float = 1.5e-4,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    """Initialize params/batch_stats and the Adam optimizer.
+
+    Defaults mirror the reference: Adam(lr=1.5e-4) with torch defaults
+    (main.py:100).
+    """
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    if tx is None:
+        tx = optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=eps)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    mesh: Optional[Mesh] = None,
+    remat: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted (state, images, labels) -> (state, metrics) step."""
+
+    def loss_fn(params, state: TrainState, images, labels):
+        apply = state.apply_fn
+        if remat:
+            apply = jax.checkpoint(apply, static_argnums=())
+        outputs, new_model_state = apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss = cross_entropy_loss(outputs, labels)
+        return loss, new_model_state["batch_stats"]
+
+    def train_step(state: TrainState, images, labels):
+        (loss, new_batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state, images, labels)
+        state = state.apply_gradients(grads=grads, batch_stats=new_batch_stats)
+        metrics = {"loss": loss}
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(num_classes: int, mesh: Optional[Mesh] = None) -> Callable:
+    """Jitted eval: (state, images, labels, n_valid) -> metrics dict.
+
+    ``n_valid`` masks zero-padded tail samples (the pipeline pads the last
+    partial batch to keep shapes static). The confusion matrix is accumulated
+    on device; callers sum the returned matrices over batches and derive
+    mIoU / pixel-acc on host at the end (tpuseg.train.metrics).
+    """
+
+    def eval_step(state: TrainState, images, labels, n_valid):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        b = images.shape[0]
+        valid = (jnp.arange(b) < n_valid).astype(jnp.float32)  # [B]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, labels[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        per_sample = jnp.mean(nll, axis=(1, 2))  # [B]
+        preds = jnp.argmax(logits, axis=-1)
+        # padded samples -> class index C for both pred and target, then
+        # dropped by slicing the (C+1)-sized matrix back to [C, C].
+        vmask = valid[:, None, None].astype(jnp.int32)
+        preds_m = preds * vmask + num_classes * (1 - vmask)
+        labels_m = labels.astype(jnp.int32) * vmask + num_classes * (1 - vmask)
+        cm = confusion_matrix(preds_m, labels_m, num_classes + 1)[
+            :num_classes, :num_classes
+        ]
+        return {
+            "loss_sum": jnp.sum(per_sample * valid),
+            "n": jnp.sum(valid),
+            "confusion": cm,
+        }
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(repl, data, data, repl),
+        out_shardings=repl,
+    )

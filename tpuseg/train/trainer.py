@@ -1,0 +1,258 @@
+"""The high-level training driver.
+
+Replaces the reference's ``train_model`` epoch loop (src/train.py:6-79) with a
+TPU-shaped one:
+
+- ONE jitted program per train step (fwd + bwd + Adam update, sharded over
+  the mesh's "data" axis) instead of eager per-op dispatch;
+- loss is fetched with a one-step LAG so the host never blocks the device
+  (the reference syncs every step via ``loss.item()``, src/train.py:41);
+- on-device augmentation of uint8 batches (tpuseg.data.augment);
+- a REAL eval loop with mIoU/pixel-acc (the reference's validation phase is
+  commented out, src/train.py:46-74, and it computes no metric ever);
+- async step-tagged Orbax checkpoints with resume (vs torch.save of bare
+  state_dict every epoch, src/train.py:77);
+- optional jax.profiler trace capture and structured JSON-lines logging.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.configs import Config
+from tpuseg.core.checkpoint import CheckpointManager
+from tpuseg.core.mesh import create_mesh, local_device_kind
+from tpuseg.data.augment import make_augment_fn, normalize_images
+from tpuseg.data.combined import CombinedDataset
+from tpuseg.data.pipeline import InputPipeline
+from tpuseg.data.sources import build_source
+from tpuseg.models.registry import build_model
+from tpuseg.train.metrics import (
+    iou_from_confusion,
+    mean_iou,
+    pixel_accuracy_from_confusion,
+)
+from tpuseg.train.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+log = logging.getLogger(__name__)
+
+
+class Trainer:
+    """Wires config -> mesh, model, pipeline, steps; runs train/eval."""
+
+    def __init__(self, cfg: Config, combined: Optional[CombinedDataset] = None):
+        self.cfg = cfg
+        self.mesh = create_mesh(cfg.mesh.data, cfg.mesh.spatial)
+        log.info("devices: %s | mesh: %s", local_device_kind(), self.mesh)
+
+        self.model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        self.state = create_train_state(
+            self.model,
+            rng,
+            (1, cfg.data.height, cfg.data.width, 3),
+            lr=cfg.train.lr,
+            b1=cfg.train.b1,
+            b2=cfg.train.b2,
+            eps=cfg.train.eps,
+        )
+
+        if combined is None:
+            sources = [
+                build_source(s, cfg.data.width, cfg.data.height)
+                for s in cfg.data.sources
+            ]
+            weights = [s.weight for s in cfg.data.sources]
+            if not any(weights):
+                weights = None
+            combined = CombinedDataset(
+                sources,
+                weights=weights,
+                val_split=cfg.data.val_split,
+                seed=cfg.data.seed,
+            )
+        self.combined = combined
+        log.info("%s", combined.summary())
+        self.pipeline = InputPipeline(
+            combined,
+            batch_size=cfg.train.batch_size,
+            height=cfg.data.height,
+            width=cfg.data.width,
+            mesh=self.mesh,
+            seed=cfg.data.seed,
+            prefetch=cfg.data.prefetch,
+        )
+
+        self.train_step = make_train_step(mesh=self.mesh, remat=cfg.train.remat)
+        self.eval_step = make_eval_step(cfg.model.num_classes, mesh=self.mesh)
+        self.augment = make_augment_fn(
+            cfg.data.height, cfg.data.width, heavy=cfg.data.heavy_augment
+        )
+        self._aug_key = jax.random.PRNGKey(cfg.data.seed + 1)
+
+        self.ckpt: Optional[CheckpointManager] = None
+        if cfg.train.checkpoint_dir:
+            self.ckpt = CheckpointManager(
+                cfg.train.checkpoint_dir, max_to_keep=cfg.train.keep_checkpoints
+            )
+        self.step = 0
+        self.history: List[Dict] = []
+
+    # -- checkpointing -----------------------------------------------------
+
+    def _sampler_state_pytree(self) -> dict:
+        s = self.pipeline.state()["sampler"]
+        return {
+            "key": np.asarray(s["key"], np.uint32),
+            "pos": np.asarray(s["pos"], np.int64),
+            "has_gauss": np.asarray(s["has_gauss"], np.int64),
+            "cached": np.asarray(s["cached"], np.float64),
+        }
+
+    def save_checkpoint(self, force: bool = False) -> None:
+        if self.ckpt is None:
+            return
+        payload = {
+            "state": {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(self.step, np.int64),
+            },
+            "sampler": self._sampler_state_pytree(),
+        }
+        self.ckpt.save(self.step, payload, force=force)
+
+    def maybe_resume(self) -> bool:
+        if self.ckpt is None or self.ckpt.latest_step() is None:
+            return False
+        template = {
+            "state": {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(0, np.int64),
+            },
+            "sampler": self._sampler_state_pytree(),
+        }
+        restored = self.ckpt.restore(template=template)
+        st = restored["state"]
+        self.state = self.state.replace(
+            params=st["params"],
+            batch_stats=st["batch_stats"],
+            opt_state=st["opt_state"],
+        )
+        self.step = int(st["step"])
+        s = restored["sampler"]
+        self.pipeline.restore(
+            {
+                "sampler": {
+                    "key": np.asarray(s["key"]).tolist(),
+                    "pos": int(s["pos"]),
+                    "has_gauss": int(s["has_gauss"]),
+                    "cached": float(s["cached"]),
+                }
+            }
+        )
+        log.info("resumed from step %d", self.step)
+        return True
+
+    # -- loops ---------------------------------------------------------------
+
+    def steps_per_epoch(self) -> int:
+        if self.cfg.train.steps_per_epoch > 0:
+            return self.cfg.train.steps_per_epoch
+        return max(1, self.combined.train_size // self.cfg.train.batch_size)
+
+    def train(self, epochs: Optional[int] = None) -> List[Dict]:
+        cfg = self.cfg.train
+        epochs = epochs if epochs is not None else cfg.epochs
+        spe = self.steps_per_epoch()
+        if cfg.resume:
+            self.maybe_resume()
+        start_epoch = self.step // spe
+
+        profiling = False
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+
+        try:
+            for epoch in range(start_epoch, epochs):
+                t0 = time.perf_counter()
+                losses = []
+                pending = None  # one-step-lagged loss fetch
+                for images, masks in self.pipeline.train_batches(spe):
+                    self._aug_key, k = jax.random.split(self._aug_key)
+                    x, y = self.augment(images, masks, k)
+                    self.state, metrics = self.train_step(self.state, x, y)
+                    self.step += 1
+                    if pending is not None:
+                        losses.append(float(pending["loss"]))
+                    pending = metrics
+                    if cfg.log_every and self.step % cfg.log_every == 0 and losses:
+                        log.info(
+                            "step %d | loss %.4f", self.step, losses[-1]
+                        )
+                if pending is not None:
+                    losses.append(float(pending["loss"]))
+                dt = time.perf_counter() - t0
+                imgs_sec = spe * cfg.batch_size / max(dt, 1e-9)
+                rec = {
+                    "epoch": epoch + 1,
+                    "step": self.step,
+                    "train_loss": float(np.mean(losses)) if losses else float("nan"),
+                    "imgs_per_sec": imgs_sec,
+                    "seconds": dt,
+                }
+                if (
+                    self.combined.val_size > 0
+                    and cfg.eval_every_epochs
+                    and (epoch + 1) % cfg.eval_every_epochs == 0
+                ):
+                    rec.update(self.evaluate())
+                self.history.append(rec)
+                log.info("%s", json.dumps(rec))
+                if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
+                    self.save_checkpoint()
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
+            if self.ckpt is not None:
+                self.ckpt.wait()
+        return self.history
+
+    def evaluate(self) -> Dict[str, float]:
+        """Full pass over the val split: loss, pixel acc, per-class IoU, mIoU."""
+        num_classes = self.cfg.model.num_classes
+        cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+        loss_sum, n = 0.0, 0.0
+        for images, masks, n_valid in self.pipeline.eval_batches():
+            x = normalize_images(images)
+            out = self.eval_step(
+                self.state, x, masks.astype(jnp.int32), jnp.asarray(n_valid)
+            )
+            cm = cm + out["confusion"]
+            loss_sum += float(out["loss_sum"])
+            n += float(out["n"])
+        if n == 0:
+            return {}
+        iou = np.asarray(iou_from_confusion(cm))
+        return {
+            "val_loss": loss_sum / n,
+            "val_pixel_acc": float(pixel_accuracy_from_confusion(cm)),
+            "val_miou": float(mean_iou(cm)),
+            "val_iou_per_class": [None if np.isnan(v) else float(v) for v in iou],
+        }
