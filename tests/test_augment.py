@@ -1,0 +1,69 @@
+"""On-device augmentation: shapes, determinism, distribution sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuseg.data.augment import make_augment_fn, normalize_images
+from tpuseg.data.class_maps import IMAGENET_MEAN, IMAGENET_STD
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (16, 32, 64, 3), np.uint8)
+    masks = rng.randint(0, 10, (16, 32, 64), np.uint8)
+    return jnp.asarray(imgs), jnp.asarray(masks)
+
+
+@pytest.mark.parametrize("heavy", [False, True])
+def test_shapes_and_dtypes(batch, heavy):
+    imgs, masks = batch
+    fn = make_augment_fn(32, 64, heavy=heavy)
+    x, y = fn(imgs, masks, jax.random.PRNGKey(0))
+    assert x.shape == (16, 32, 64, 3) and x.dtype == jnp.float32
+    assert y.shape == (16, 32, 64) and y.dtype == jnp.int32
+    assert set(np.unique(np.asarray(y))) <= set(range(10))  # labels preserved
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_deterministic_per_key(batch):
+    imgs, masks = batch
+    fn = make_augment_fn(32, 64)
+    x1, y1 = fn(imgs, masks, jax.random.PRNGKey(7))
+    x2, y2 = fn(imgs, masks, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    x3, _ = fn(imgs, masks, jax.random.PRNGKey(8))
+    assert not np.array_equal(np.asarray(x1), np.asarray(x3))
+
+
+def test_flip_probability_half():
+    """HFlip p=.5 (src/BDD100KDataset.py:41): with all other transforms being
+    identity-gated too, count samples where the mask is exactly the mirror."""
+    rng = np.random.RandomState(1)
+    # asymmetric mask so flips are detectable
+    masks = np.zeros((200, 16, 32), np.uint8)
+    masks[:, :, :8] = 1
+    imgs = rng.randint(0, 255, (200, 16, 32, 3), np.uint8)
+    fn = make_augment_fn(16, 32)
+    _, y = fn(jnp.asarray(imgs), jnp.asarray(masks), jax.random.PRNGKey(0))
+    y = np.asarray(y)
+    flipped = (y[:, :, -8:] == 1).mean(axis=(1, 2)) > 0.9
+    assert 0.35 < flipped.mean() < 0.65
+
+
+def test_normalize_matches_formula():
+    img = np.full((2, 4, 4, 3), 128, np.uint8)
+    out = np.asarray(normalize_images(jnp.asarray(img)))
+    expect = (128 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out[0, 0, 0], expect, rtol=1e-5)
+
+
+def test_mask_labels_never_interpolated(batch):
+    """Nearest mask warp must never invent fractional labels."""
+    imgs, _ = batch
+    masks = jnp.asarray((np.arange(16 * 32 * 64).reshape(16, 32, 64) % 3) * 4)
+    fn = make_augment_fn(32, 64, heavy=True)
+    _, y = fn(imgs, masks.astype(jnp.uint8), jax.random.PRNGKey(3))
+    assert set(np.unique(np.asarray(y))) <= {0, 4, 8}

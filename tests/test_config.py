@@ -1,0 +1,51 @@
+"""Config system: defaults mirror the reference's constants; overrides work."""
+
+import json
+
+import pytest
+
+from tpuseg.configs import Config, load_config
+
+
+def test_defaults_match_reference():
+    cfg = Config()
+    assert (cfg.data.width, cfg.data.height) == (256, 128)  # main.py:23
+    assert cfg.train.batch_size == 8                        # main.py:92
+    assert cfg.train.lr == 1.5e-4                           # main.py:100
+    assert cfg.train.epochs == 200                          # main.py:103
+    assert cfg.model.num_classes == 10                      # main.py:98
+    assert cfg.data.mix == (0.5, 0.2, 0.3)                  # main.py:69-71
+
+
+def test_dotted_overrides():
+    cfg = load_config(["--train.lr=3e-4", "--model.name=unet", "--mesh.data=4"])
+    assert cfg.train.lr == 3e-4
+    assert cfg.model.name == "unet"
+    assert cfg.mesh.data == 4
+
+
+def test_bool_and_tuple_coercion():
+    cfg = load_config(
+        ["--train.resume=true", "--data.mix=[0.6,0.2,0.2]"]
+    )
+    assert cfg.train.resume is True
+    assert cfg.data.mix == (0.6, 0.2, 0.2)
+
+
+def test_unknown_key_raises():
+    with pytest.raises(KeyError):
+        load_config(["--train.batchsize=4"])
+    with pytest.raises(KeyError):
+        load_config(["--trian.lr=1"])
+
+
+def test_config_file_plus_override(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "model": {"name": "unet", "base_filters": 16},
+        "data": {"sources": [{"kind": "synthetic", "num_samples": 4}]},
+    }))
+    cfg = load_config([f"--config={p}", "--model.base_filters=8"])
+    assert cfg.model.name == "unet"
+    assert cfg.model.base_filters == 8
+    assert cfg.data.sources[0].kind == "synthetic"

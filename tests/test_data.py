@@ -1,0 +1,164 @@
+"""Data layer: LUT remaps, polygon rasterization, splits, weighted mixing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpuseg.configs import DatasetSourceConfig
+from tpuseg.data.class_maps import (
+    BDD100K_CLASS_MAP,
+    BDD100K_LUT,
+    CARLA_CLASS_MAP,
+    CARLA_LUT,
+    build_lut,
+)
+from tpuseg.data.combined import CombinedDataset, WeightedMixSampler
+from tpuseg.data.sources import (
+    BDD100KSource,
+    SEAMESource,
+    SyntheticSource,
+    build_source,
+)
+
+
+def _reference_remap(raw, class_map):
+    """The reference's per-class boolean-mask loop (src/BDD100KDataset.py:67-69)."""
+    out = np.zeros_like(raw)
+    for src, dst in class_map.items():
+        out[raw == src] = dst
+    return out
+
+
+@pytest.mark.parametrize(
+    "lut,cmap", [(BDD100K_LUT, BDD100K_CLASS_MAP), (CARLA_LUT, CARLA_CLASS_MAP)]
+)
+def test_lut_equals_reference_loop(lut, cmap):
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 40, (50, 80)).astype(np.uint8)
+    np.testing.assert_array_equal(lut[raw], _reference_remap(raw, cmap))
+
+
+def test_build_lut_unmapped_to_background():
+    lut = build_lut({3: 7})
+    assert lut[3] == 7 and lut[0] == 0 and lut[255] == 0
+
+
+@pytest.fixture
+def fake_bdd(tmp_path):
+    """Miniature BDD100K dir tree (SURVEY.md §4.3 integration fixture)."""
+    cv2 = pytest.importorskip("cv2")
+    img_dir = tmp_path / "images"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        cv2.imwrite(str(img_dir / f"{i:03d}.jpg"),
+                    rng.randint(0, 255, (60, 100, 3), np.uint8))
+        cv2.imwrite(str(mask_dir / f"{i:03d}.png"),
+                    rng.randint(0, 20, (60, 100), np.uint8))
+    return str(img_dir), str(mask_dir)
+
+
+def test_bdd100k_source(fake_bdd):
+    img_dir, mask_dir = fake_bdd
+    src = BDD100KSource(img_dir, mask_dir, width=64, height=32)
+    assert len(src) == 4
+    image, mask = src.load(0)
+    assert image.shape == (32, 64, 3) and image.dtype == np.uint8
+    assert mask.shape == (32, 64) and mask.dtype == np.uint8
+    assert mask.max() <= 9  # remapped into the 10-class scheme
+
+
+def test_seame_source(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    img_dir = tmp_path
+    (img_dir / "frames").mkdir()
+    rng = np.random.RandomState(0)
+    ann_file = tmp_path / "ann.jsonl"
+    lines = []
+    # multi-class format
+    cv2.imwrite(str(img_dir / "frames" / "a.jpg"),
+                rng.randint(0, 255, (40, 80, 3), np.uint8))
+    lines.append({
+        "raw_file": "frames/a.jpg", "image_height": 40, "image_width": 80,
+        "annotations": [
+            {"type": "drivable_area",
+             "polygons": [[[5, 35], [70, 35], [40, 10]]]},
+            {"type": "car", "polygons": [[[0, 0], [10, 0], [10, 10], [0, 10]]]},
+            {"type": "unknown_thing", "polygons": [[[0, 0], [5, 0], [5, 5]]]},
+        ],
+    })
+    # legacy road-only format
+    cv2.imwrite(str(img_dir / "frames" / "b.jpg"),
+                rng.randint(0, 255, (40, 80, 3), np.uint8))
+    lines.append({
+        "raw_file": "frames/b.jpg", "image_height": 40, "image_width": 80,
+        "polygons": [[[0, 39], [79, 39], [40, 20]]],
+    })
+    # missing image -> filtered out
+    lines.append({"raw_file": "frames/missing.jpg",
+                  "image_height": 40, "image_width": 80, "polygons": []})
+    ann_file.write_text("\n".join(json.dumps(l) for l in lines))
+
+    src = SEAMESource(str(img_dir), str(ann_file), width=80, height=40)
+    assert len(src) == 2  # missing image filtered (src/SEAMEDataset.py:49-51)
+    _, mask_a = src.load(0)
+    assert set(np.unique(mask_a)) <= {0, 1, 2}
+    assert (mask_a == 1).any() and (mask_a == 2).any()
+    _, mask_b = src.load(1)
+    assert (mask_b == 1).any() and not (mask_b == 2).any()
+
+
+def test_combined_split_deterministic():
+    srcs = [SyntheticSource(20, 32, 32, seed=s) for s in range(3)]
+    a = CombinedDataset(srcs, val_split=0.25, seed=7)
+    b = CombinedDataset(srcs, val_split=0.25, seed=7)
+    for ia, ib in zip(a.train_indices, b.train_indices):
+        np.testing.assert_array_equal(ia, ib)
+    assert a.val_size == 3 * 5 and a.train_size == 3 * 15
+    # no leakage
+    for tr, va in zip(a.train_indices, a.val_indices):
+        assert not set(tr.tolist()) & set(va.tolist())
+
+
+def test_weighted_mix_targets_50_20_30():
+    """The CORRECT realization of main.py:67-78's intended mix (the reference
+    buggily gives CARLA the SEAME weight — SURVEY.md §2.2 do-not-replicate)."""
+    srcs = [SyntheticSource(n, 8, 8) for n in (100, 40, 60)]
+    combined = CombinedDataset(srcs, weights=[0.5, 0.2, 0.3])
+    sampler = WeightedMixSampler(combined, seed=0)
+    picks = sampler.sample(20000)
+    counts = np.bincount([s for s, _ in picks], minlength=3) / 20000
+    np.testing.assert_allclose(counts, [0.5, 0.2, 0.3], atol=0.02)
+
+
+def test_sampler_state_roundtrip():
+    combined = CombinedDataset([SyntheticSource(10, 8, 8)])
+    s1 = WeightedMixSampler(combined, seed=3)
+    s1.sample(17)
+    state = s1.state()
+    seq_a = s1.sample(50)
+    s2 = WeightedMixSampler(combined, seed=999)
+    s2.restore(state)
+    assert s2.sample(50) == seq_a
+
+
+def test_empty_source_gets_zero_probability():
+    combined = CombinedDataset(
+        [SyntheticSource(0, 8, 8), SyntheticSource(10, 8, 8)],
+        weights=[0.5, 0.5],
+    )
+    sampler = WeightedMixSampler(combined, seed=0)
+    assert all(s == 1 for s, _ in sampler.sample(100))
+
+
+def test_build_source_dispatch():
+    src = build_source(
+        DatasetSourceConfig(kind="synthetic", num_samples=5), 16, 16
+    )
+    assert isinstance(src, SyntheticSource) and len(src) == 5
+    with pytest.raises(KeyError):
+        build_source(DatasetSourceConfig(kind="imagenet"), 16, 16)

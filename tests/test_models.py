@@ -1,0 +1,86 @@
+"""Model shape/dtype contracts at the canonical input size (SURVEY.md §4.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuseg.configs import ModelConfig
+from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
+from tpuseg.models.mobilenetv2 import MobileNetV2Encoder
+from tpuseg.models.registry import build_model
+from tpuseg.models.unet import LightUNet, UNet
+
+
+def _n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def test_mobilenetv2_unet_canonical_shape():
+    """Input 128x256 (reference main.py:23) -> logits [B,128,256,10] float32."""
+    m = MobileNetV2UNet(output_channels=10)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False)
+    out = m.apply(v, jnp.zeros((2, 128, 256, 3)), train=False)
+    assert out.shape == (2, 128, 256, 10)
+    assert out.dtype == jnp.float32
+
+
+def test_encoder_stage_shapes():
+    """The 5 skip taps at 16/24/32/64/1280 ch, 1/2..1/32 res (src/unet.py:15-19)."""
+    enc = MobileNetV2Encoder()
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False)
+    taps = enc.apply(v, jnp.zeros((1, 128, 256, 3)), train=False)
+    shapes = [t.shape for t in taps]
+    assert shapes == [
+        (1, 64, 128, 16),
+        (1, 32, 64, 24),
+        (1, 16, 32, 32),
+        (1, 8, 16, 64),
+        (1, 4, 8, 1280),
+    ]
+
+
+def test_mobilenetv2_unet_param_count_matches_torch():
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref import TorchMobileNetV2UNet
+
+    tm = TorchMobileNetV2UNet(output_channels=10)
+    # count unique parameters (the reference registers encoder slices twice)
+    seen, n_torch = set(), 0
+    for p in tm.parameters():
+        if id(p) not in seen:
+            seen.add(id(p))
+            n_torch += p.numel()
+    m = MobileNetV2UNet(output_channels=10)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)), train=False)
+    assert _n_params(v["params"]) == n_torch
+
+
+def test_unet_output_at_input_resolution():
+    m = UNet(output_channels=10, base_filters=8)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    out = m.apply(v, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 64, 64, 10)
+
+
+def test_light_unet_single_channel():
+    m = LightUNet(base_filters=8)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    out = m.apply(v, jnp.zeros((1, 32, 32, 3)), train=False)
+    assert out.shape == (1, 32, 32, 1)
+
+
+def test_bf16_compute_fp32_logits():
+    m = MobileNetV2UNet(output_channels=10, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)), train=False)
+    out = m.apply(v, jnp.zeros((1, 64, 128, 3)), train=False)
+    assert out.dtype == jnp.float32  # logits always fp32
+    # params stay fp32 regardless of compute dtype
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(v["params"]))
+
+
+def test_registry():
+    for name in ("mobilenetv2_unet", "unet", "light_unet"):
+        build_model(ModelConfig(name=name, base_filters=8))
+    with pytest.raises(KeyError):
+        build_model(ModelConfig(name="nope"))

@@ -1,0 +1,116 @@
+"""FP32 parity: Flax models + torch_import vs the reference torch semantics.
+
+The reference's behavior is defined by PyTorch ops (src/unet.py); these tests
+build the equivalent torch model with random weights (tests/torch_ref.py,
+torchvision naming), import the state_dict through tpuseg.core.torch_import,
+and assert the Flax forward matches the torch forward at float32 tolerance —
+including the align_corners=False (decoder, src/unet.py:97) vs =True (final
+head, src/unet.py:30) asymmetry.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from tests.torch_ref import TorchMobileNetV2UNet, TorchUNet  # noqa: E402
+from tpuseg.core.torch_import import import_state_dict  # noqa: E402
+from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet  # noqa: E402
+from tpuseg.models.unet import UNet  # noqa: E402
+
+
+def _to_numpy_sd(model):
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+def _torch_forward(model, x_nchw):
+    model.eval()
+    with torch.no_grad():
+        return model(torch.from_numpy(x_nchw)).numpy()
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_unet_parity(seed):
+    tm = TorchUNet(output_channels=10, base_filters=8)
+    torch.manual_seed(seed)
+    for p in tm.parameters():
+        p.data.uniform_(-0.1, 0.1)
+    rng = np.random.RandomState(seed)
+    x = rng.rand(2, 3, 32, 64).astype(np.float32)
+
+    ref = _torch_forward(tm, x)  # [B, C, H, W]
+
+    variables = import_state_dict(_to_numpy_sd(tm), "unet")
+    fm = UNet(output_channels=10, base_filters=8)
+    out = fm.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        train=False,
+    )
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_mobilenetv2_unet_parity(seed):
+    tm = TorchMobileNetV2UNet(output_channels=10)
+    torch.manual_seed(seed)
+    # keep BN stats non-trivial so running-stat import is actually tested
+    sd = tm.state_dict()
+    g = torch.Generator().manual_seed(seed)
+    for k, v in sd.items():
+        if k.endswith("running_var"):
+            v.uniform_(0.5, 1.5, generator=g)
+        elif k.endswith("running_mean"):
+            v.uniform_(-0.2, 0.2, generator=g)
+        elif v.dtype.is_floating_point:
+            v.uniform_(-0.05, 0.05, generator=g)
+
+    rng = np.random.RandomState(seed)
+    x = rng.rand(1, 3, 64, 128).astype(np.float32)
+    ref = _torch_forward(tm, x)
+
+    variables = import_state_dict(_to_numpy_sd(tm), "mobilenetv2_unet")
+    fm = MobileNetV2UNet(output_channels=10)
+    out = fm.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        train=False,
+    )
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_bilinear_resize_matches_torch():
+    """Both align_corners conventions, exact vs torch.nn.Upsample."""
+    from tpuseg.ops.resize import upsample2x_bilinear
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 5, 7, 3).astype(np.float32)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    for ac in (False, True):
+        ref = torch.nn.functional.interpolate(
+            xt, scale_factor=2, mode="bilinear", align_corners=ac
+        ).numpy()
+        out = np.transpose(
+            np.asarray(upsample2x_bilinear(jnp.asarray(x), align_corners=ac)),
+            (0, 3, 1, 2),
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_cross_entropy_matches_torch():
+    from tpuseg.train.loss import cross_entropy_loss
+
+    rng = np.random.RandomState(2)
+    logits = rng.randn(2, 8, 8, 10).astype(np.float32)
+    targets = rng.randint(0, 10, (2, 8, 8))
+    ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))),
+        torch.from_numpy(targets),
+    ).item()
+    ours = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    assert abs(ours - ref) < 1e-5

@@ -1,0 +1,158 @@
+"""Training: convergence, DP-vs-single-device equivalence, checkpoint resume.
+
+SURVEY.md §4.3/§4.4: integration on synthetic data (loss decreases, round
+trips) and the standard JAX no-cluster distributed test — 8 virtual CPU
+devices, sharded step numerically equal to single-device at the same global
+batch.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuseg.configs import DatasetSourceConfig, load_config
+from tpuseg.core.mesh import create_mesh
+from tpuseg.models.unet import UNet
+from tpuseg.train.metrics import (
+    iou_from_confusion,
+    mean_iou,
+    pixel_accuracy_from_confusion,
+)
+from tpuseg.train.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _toy_state(seed=0, lr=1e-3):
+    model = UNet(output_channels=4, base_filters=4)
+    return create_train_state(
+        model, jax.random.PRNGKey(seed), (1, 16, 32, 3), lr=lr
+    )
+
+
+def _toy_batch(n=8, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n, 16, 32, 3).astype(np.float32)
+    # learnable structure: label = quadrant
+    y = np.zeros((n, 16, 32), np.int32)
+    y[:, 8:, :16] = 1
+    y[:, :8, 16:] = 2
+    y[:, 8:, 16:] = 3
+    x += y[..., None] * 0.25
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_loss_decreases():
+    state = _toy_state()
+    step = make_train_step()
+    x, y = _toy_batch()
+    losses = []
+    for _ in range(12):
+        state, m = step(state, x, y)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9
+
+
+def test_dp_equals_single_device(mesh8):
+    """Same global batch => numerically equal loss and params, sharded or not.
+
+    SGD (updates linear in gradients) so the comparison tests the fidelity of
+    the XLA gradient all-reduce; Adam would amplify benign float reduction-
+    order differences through its sqrt-normalized update.
+    """
+    import optax
+
+    x, y = _toy_batch(8)
+
+    def mk_state():
+        from tpuseg.train.train_step import create_train_state
+
+        model = UNet(output_channels=4, base_filters=4)
+        return create_train_state(
+            model, jax.random.PRNGKey(0), (1, 16, 32, 3), tx=optax.sgd(0.1)
+        )
+
+    s1 = mk_state()
+    l1 = []
+    step1 = make_train_step(donate=False)
+    for _ in range(3):
+        s1, m = step1(s1, x, y)
+        l1.append(float(m["loss"]))
+
+    s2 = mk_state()
+    step8 = make_train_step(mesh=mesh8, donate=False)
+    l2 = []
+    for _ in range(3):
+        s2, m = step8(s2, x, y)
+        l2.append(float(m["loss"]))
+
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    # float reduction-order differences across the 8-way psum bound ~2e-5
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_batch_stats_update_in_train_mode():
+    state = _toy_state()
+    step = make_train_step()
+    x, y = _toy_batch()
+    before = jax.tree.leaves(state.batch_stats)
+    state, _ = step(state, x, y)
+    after = jax.tree.leaves(state.batch_stats)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+
+
+def test_eval_step_padding_mask(mesh8):
+    state = _toy_state()
+    ev = make_eval_step(4, mesh=mesh8)
+    x, y = _toy_batch(8)
+    full = ev(state, x, y, jnp.asarray(8))
+    half = ev(state, x, y, jnp.asarray(4))
+    assert float(half["n"]) == 4
+    assert int(half["confusion"].sum()) == 4 * 16 * 32
+    assert int(full["confusion"].sum()) == 8 * 16 * 32
+
+
+def test_metrics_from_confusion():
+    cm = jnp.asarray([[50, 10], [10, 30]], jnp.int32)
+    iou = np.asarray(iou_from_confusion(cm))
+    np.testing.assert_allclose(iou, [50 / 70, 30 / 50], rtol=1e-6)
+    assert abs(float(mean_iou(cm)) - (50 / 70 + 30 / 50) / 2) < 1e-6
+    assert abs(float(pixel_accuracy_from_confusion(cm)) - 0.8) < 1e-6
+
+
+def test_trainer_end_to_end_with_resume(tmp_path, mesh8):
+    from tpuseg.train.trainer import Trainer
+
+    argv = [
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=3", "--train.lr=1e-3",
+        f"--train.checkpoint_dir={tmp_path}/ckpt",
+        "--data.val_split=0.25", "--train.log_every=0",
+    ]
+    cfg = load_config(argv)
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+    )
+    t = Trainer(cfg)
+    hist = t.train()
+    assert len(hist) == 1
+    assert np.isfinite(hist[0]["train_loss"])
+    assert "val_miou" in hist[0]
+    t.ckpt.wait()
+
+    cfg2 = load_config(argv)
+    cfg2.data.sources = cfg.data.sources
+    t2 = Trainer(cfg2)
+    assert t2.maybe_resume()
+    assert t2.step == 3
+    for a, b in zip(jax.tree.leaves(t.state.params), jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -83,7 +83,7 @@ def _perspective_matrix(key, scale, width: int, height: int) -> jnp.ndarray:
     jitter = (
         jax.random.normal(key, (4, 2), dtype=jnp.float32)
         * scale
-        * jnp.array([w, h], dtype=jnp.float32)
+        * jnp.array([[w, h]], dtype=jnp.float32)
     )
     dst = src + jitter
     # Solve for H with H[2,2] = 1: for each pair (x,y)->(u,v):
@@ -230,7 +230,7 @@ def _hsv_shift(img, key):
 
 
 def _rgb_shift(img, key, limit: float = 15.0):
-    shifts = jax.random.uniform(key, (3,), minval=-limit, maxval=limit)
+    shifts = jax.random.uniform(key, (1, 1, 3), minval=-limit, maxval=limit)
     return jnp.clip(img + shifts, 0.0, 255.0)
 
 
@@ -362,8 +362,9 @@ def normalize_images(img: jnp.ndarray) -> jnp.ndarray:
     Parity with A.Normalize(mean, std) (src/BDD100KDataset.py:44 et al.).
     """
     img = img.astype(jnp.float32) / 255.0
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
+    shape = (1,) * (img.ndim - 1) + (3,)
+    mean = jnp.asarray(IMAGENET_MEAN).reshape(shape)
+    std = jnp.asarray(IMAGENET_STD).reshape(shape)
     return (img - mean) / std
 
 

@@ -10,12 +10,16 @@ jitted eval step — no per-step host syncs.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def confusion_matrix(
     preds: jnp.ndarray, targets: jnp.ndarray, num_classes: int
 ) -> jnp.ndarray:
-    """[C, C] counts, rows = target class, cols = predicted class."""
+    """[C, C] counts, rows = target class, cols = predicted class.
+
+    Runs on device inside the jitted eval step.
+    """
     idx = targets.astype(jnp.int32).reshape(-1) * num_classes + preds.astype(
         jnp.int32
     ).reshape(-1)
@@ -23,22 +27,30 @@ def confusion_matrix(
     return counts.reshape(num_classes, num_classes)
 
 
-def iou_from_confusion(cm: jnp.ndarray) -> jnp.ndarray:
+# The derived metrics below run on HOST (numpy): the confusion matrix is a
+# tiny [C, C] array by the time it leaves the device, and the per-class IoU
+# deliberately uses NaN for classes absent from both pred and target — which
+# must not trip the jax_debug_nans sanitizer used in tests (SURVEY.md §5.2).
+
+
+def iou_from_confusion(cm) -> np.ndarray:
     """Per-class IoU; classes absent from both pred and target get NaN."""
-    cm = cm.astype(jnp.float32)
-    tp = jnp.diag(cm)
+    cm = np.asarray(cm, dtype=np.float64)
+    tp = np.diag(cm)
     fp = cm.sum(axis=0) - tp
     fn = cm.sum(axis=1) - tp
     denom = tp + fp + fn
-    return jnp.where(denom > 0, tp / jnp.maximum(denom, 1), jnp.nan)
+    return np.where(denom > 0, tp / np.maximum(denom, 1), np.nan)
 
 
-def mean_iou(cm: jnp.ndarray) -> jnp.ndarray:
+def mean_iou(cm) -> float:
     """mIoU over classes present in the data (NaN classes excluded)."""
     iou = iou_from_confusion(cm)
-    return jnp.nanmean(iou)
+    if np.isnan(iou).all():
+        return float("nan")
+    return float(np.nanmean(iou))
 
 
-def pixel_accuracy_from_confusion(cm: jnp.ndarray) -> jnp.ndarray:
-    cm = cm.astype(jnp.float32)
-    return jnp.diag(cm).sum() / jnp.maximum(cm.sum(), 1)
+def pixel_accuracy_from_confusion(cm) -> float:
+    cm = np.asarray(cm, dtype=np.float64)
+    return float(np.diag(cm).sum() / max(cm.sum(), 1))
