@@ -64,8 +64,14 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     remat: bool = False,
     donate: bool = True,
+    spatial: bool = False,
 ) -> Callable:
-    """Build the jitted (state, images, labels) -> (state, metrics) step."""
+    """Build the jitted (state, images, labels) -> (state, metrics) step.
+
+    ``spatial=True`` additionally shards the image-height dim over the mesh's
+    "spatial" axis; XLA's SPMD partitioner inserts the conv halo exchanges
+    (SURVEY.md §5.7 — the spatial analogue of sequence parallelism).
+    """
 
     def loss_fn(params, state: TrainState, images, labels):
         apply = state.apply_fn
@@ -92,7 +98,7 @@ def make_train_step(
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
+    data = batch_sharding(mesh, spatial_dim=1 if spatial else None)
     return jax.jit(
         train_step,
         in_shardings=(repl, data, data),
