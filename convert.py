@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Export entry point — counterpart of the reference convert.py.
+
+The reference exports ONNX opset 12 with a dynamic batch axis and validates
+with onnx.checker (convert.py:29-55). The TPU-native artifact is serialized
+StableHLO via jax.export with a symbolic batch dimension, with optional
+FP16 weight cast or int8 weight-only PTQ (README.md:113-117's deployment
+claims), and a round-trip self-check (exported output == jitted output):
+
+    python convert.py --export.checkpoint=checkpoints \
+        --export.output=exported/model.stablehlo --export.dtype=float16
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    logging.getLogger("absl").setLevel(logging.WARNING)
+
+    import jax.numpy as jnp
+
+    from tpuseg.core.platform import apply_platform_flag
+
+    argv = apply_platform_flag(argv if argv is not None else sys.argv[1:])
+
+    from tpuseg.configs import load_config
+    from tpuseg.export.stablehlo import export_model, load_exported
+    from tpuseg.infer.predictor import load_variables
+    from tpuseg.models.registry import build_model
+
+    cfg = load_config(argv)
+    model = build_model(cfg.model)
+
+    def init_fn():
+        import jax
+
+        v = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.data.height, cfg.data.width, 3)),
+            train=False,
+        )
+        return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+
+    variables = load_variables(cfg.export.checkpoint, cfg.model.name, init_fn)
+
+    if cfg.export.dtype == "int8":
+        from tpuseg.export.quantize import dequantize_int8, quantize_int8
+
+        variables = {
+            "params": dequantize_int8(quantize_int8(variables["params"])),
+            "batch_stats": variables["batch_stats"],
+        }
+        export_dtype = "float32"  # int8 is weight-storage; graph runs fp32
+    else:
+        export_dtype = cfg.export.dtype
+
+    data, _ = export_model(
+        model,
+        variables,
+        cfg.data.height,
+        cfg.data.width,
+        cfg.export.output,
+        batch=cfg.export.batch,
+        dtype=export_dtype,
+    )
+    print(f"Exported {len(data)} bytes of StableHLO to {cfg.export.output}")
+
+    # round-trip self-check (the reference's onnx.checker analogue)
+    call = load_exported(cfg.export.output)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, cfg.data.height, cfg.data.width, 3),
+        jnp.float32,
+    )
+    out = call(x)
+    direct = model.apply(
+        {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+        },
+        x,
+        train=False,
+    )
+    err = float(jnp.abs(out - direct).max())
+    rel = err / max(float(jnp.abs(direct).max()), 1e-9)
+    print(f"Round-trip check: max diff {err:.3e} (rel {rel:.3e})")
+    if not (rel < 1e-2 if export_dtype != "float32" else rel < 1e-5):
+        print("ERROR: exported model diverges from source model")
+        return 1
+    print("Export is valid!")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

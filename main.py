@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Training entry point — the TPU-native counterpart of the reference main.py.
+
+The reference hard-codes everything (dataset paths main.py:26-48, batch/lr/
+epochs main.py:90-103) and supports zero CLI args; here the same defaults
+live in tpuseg.configs and everything is overridable:
+
+    python main.py --config configs/three_source.json
+    python main.py --data.sources='[{"kind":"synthetic","num_samples":256,"weight":1.0}]' \
+        --train.epochs=5 --train.batch_size=64 --model.compute_dtype=bfloat16
+
+Defaults mirror the reference: MobileNetV2UNet(10 classes), input 256x128,
+batch 8, Adam 1.5e-4, 200 epochs, 50/20/30 BDD/SEAME/CARLA mix, checkpoint
+every epoch. Differences (all additive): a real val split + mIoU eval loop,
+resume, profiling, data-parallel mesh scaling.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s: %(message)s"
+    )
+    logging.getLogger("absl").setLevel(logging.WARNING)
+
+    from tpuseg.core.platform import apply_platform_flag
+
+    argv = apply_platform_flag(argv if argv is not None else sys.argv[1:])
+
+    from tpuseg.configs import DatasetSourceConfig, load_config
+    from tpuseg.core.mesh import local_device_kind, maybe_initialize_distributed
+
+    cfg = load_config(argv)
+    maybe_initialize_distributed()
+    print(f"Devices: {local_device_kind()}")
+
+    if not cfg.data.sources:
+        # The reference's three sources with its 50/20/30 mix (main.py:26-48,
+        # 69-71); paths must exist — otherwise fall back to synthetic data so
+        # the entry point always runs end-to-end.
+        import os
+
+        candidates = (
+            DatasetSourceConfig(
+                kind="bdd100k",
+                img_dir="data/bdd100k/images",
+                mask_dir="data/bdd100k/masks",
+                weight=cfg.data.mix[0],
+            ),
+            DatasetSourceConfig(
+                kind="seame",
+                img_dir="data/seame",
+                annotation_file="data/seame/annotations.jsonl",
+                weight=cfg.data.mix[1],
+            ),
+            DatasetSourceConfig(
+                kind="carla",
+                img_dir="data/carla/images",
+                mask_dir="data/carla/masks",
+                weight=cfg.data.mix[2],
+            ),
+        )
+        present = tuple(
+            s for s in candidates if os.path.isdir(s.img_dir)
+        )
+        if present:
+            cfg.data.sources = present
+        else:
+            print(
+                "No dataset directories found under data/ — training on "
+                "synthetic road scenes (pass --data.sources=... for real data)."
+            )
+            cfg.data.sources = (
+                DatasetSourceConfig(kind="synthetic", num_samples=256, weight=1.0),
+            )
+
+    from tpuseg.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    trainer.train()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

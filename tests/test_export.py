@@ -1,0 +1,124 @@
+"""Export: BN folding exactness, int8 PTQ error bounds, StableHLO roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from tpuseg.export.quantize import (
+    cast_params,
+    dequantize_int8,
+    fold_batchnorm,
+    quantize_int8,
+)
+from tpuseg.export.stablehlo import export_model, load_exported
+from tpuseg.models.unet import UNet
+
+
+@pytest.fixture(scope="module")
+def trained_like_variables():
+    """Random init with jittered BN params/stats so folding is non-trivial."""
+    m = UNet(output_channels=10, base_filters=8)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), train=False)
+    rng = np.random.RandomState(5)
+
+    def jit_stats(p, x):
+        if "var" in str(p):
+            return jnp.asarray(rng.uniform(0.5, 1.5, x.shape), jnp.float32)
+        return jnp.asarray(rng.uniform(-0.05, 0.05, x.shape), jnp.float32)
+
+    def jit_params(p, x):
+        s = str(p)
+        if "'bn'" in s and "scale" in s:
+            return jnp.asarray(rng.uniform(0.5, 1.5, x.shape), jnp.float32)
+        if "'bn'" in s and "bias" in s:
+            return jnp.asarray(rng.uniform(-0.05, 0.05, x.shape), jnp.float32)
+        return x
+
+    return m, {
+        "params": jtu.tree_map_with_path(jit_params, v["params"]),
+        "batch_stats": jtu.tree_map_with_path(jit_stats, v["batch_stats"]),
+    }
+
+
+@pytest.fixture(scope="module")
+def x():
+    return jnp.asarray(np.random.RandomState(0).rand(2, 32, 64, 3), jnp.float32)
+
+
+def test_fold_batchnorm_exact(trained_like_variables, x):
+    m, v = trained_like_variables
+    ref = m.apply(v, x, train=False)
+    assert float(jnp.abs(ref).max()) > 0.01  # sanity: live activations
+    folded = fold_batchnorm(v)
+    out = m.apply(folded, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # BN params are identity after folding
+    leaf = folded["params"]["inc"]["conv1"]["bn"]
+    np.testing.assert_array_equal(np.asarray(leaf["scale"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(leaf["bias"]), 0.0)
+
+
+def test_int8_weight_roundtrip(trained_like_variables, x):
+    m, v = trained_like_variables
+    ref = m.apply(v, x, train=False)
+    q = quantize_int8(v["params"])
+    # every kernel became int8
+    kernels = [n for n in jtu.tree_leaves_with_path(q)
+               if "__int8__" in str(n[0])]
+    assert kernels and all(np.asarray(k[1]).dtype == np.int8 for k in kernels)
+    dq = dequantize_int8(q)
+    out = m.apply({"params": dq, "batch_stats": v["batch_stats"]}, x,
+                  train=False)
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.05  # weight-only PTQ stays close (SURVEY acceptance: mIoU)
+    # dominant argmax agreement
+    agree = (jnp.argmax(out, -1) == jnp.argmax(ref, -1)).mean()
+    assert float(agree) > 0.95
+
+
+def test_fp16_cast():
+    p = {"a": {"kernel": np.ones((3, 3, 4, 8), np.float32)}}
+    c = cast_params(p, jnp.float16)
+    assert c["a"]["kernel"].dtype == jnp.float16
+
+
+def test_stablehlo_roundtrip_symbolic_batch(trained_like_variables, x, tmp_path):
+    m, v = trained_like_variables
+    path = str(tmp_path / "model.stablehlo")
+    data, _ = export_model(m, v, 32, 64, path, batch=-1)
+    assert len(data) > 1000
+    call = load_exported(path)
+    ref = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(call(x)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # symbolic batch: different batch sizes through the same artifact
+    out6 = call(jnp.concatenate([x, x, x], axis=0))
+    assert out6.shape == (6, 32, 64, 10)
+
+
+def test_convert_cli(tmp_path):
+    import convert
+
+    rc = convert.main([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=64", "--data.height=32",
+        f"--export.output={tmp_path}/m.stablehlo",
+        "--export.dtype=float32",
+    ])
+    assert rc == 0
+
+
+def test_convert_cli_int8(tmp_path):
+    import convert
+
+    rc = convert.main([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=64", "--data.height=32",
+        f"--export.output={tmp_path}/m8.stablehlo",
+        "--export.dtype=int8",
+    ])
+    assert rc == 0

@@ -1,0 +1,145 @@
+"""Inference stack: postprocess parity with the reference, batched pipeline."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from tpuseg.configs import ModelConfig
+from tpuseg.data.class_maps import COLOR_MAP_BGR
+from tpuseg.infer.postprocess import clean_road_mask, overlay_predictions
+from tpuseg.infer.predictor import Predictor
+from tpuseg.infer.video import VideoPipeline
+
+
+def _reference_overlay(image, predicted_class):
+    """Literal transcription of the reference's postprocess semantics
+    (inference.py:48-146) given an already-argmaxed class map, used as the
+    golden implementation for byte-equality."""
+    color_map = {i: COLOR_MAP_BGR[i].tolist() for i in range(10)}
+    road_mask = (predicted_class == 1).astype(np.uint8) * 255
+    kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (5, 5))
+    road_mask = cv2.morphologyEx(road_mask, cv2.MORPH_CLOSE, kernel)
+    ccs = cv2.connectedComponentsWithStats(road_mask, connectivity=8,
+                                           ltype=cv2.CV_32S)
+    labels, stats = ccs[1], ccs[2]
+    if len(stats) > 1:
+        largest = 1 + np.argmax(stats[1:, cv2.CC_STAT_AREA])
+        cleaned = np.zeros_like(road_mask)
+        cleaned[labels == largest] = 255
+        road_mask = cleaned
+    cleaned_class = predicted_class.copy()
+    cleaned_class[road_mask == 255] = 1
+    overlay = image.copy()
+    for class_idx, color in color_map.items():
+        overlay[cleaned_class == class_idx] = color
+    car_mask = (cleaned_class == 2).astype(np.uint8) * 255
+    contours, _ = cv2.findContours(car_mask, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    n_cars = 0
+    for contour in contours:
+        if cv2.contourArea(contour) > 300:
+            x, y, w, h = cv2.boundingRect(contour)
+            cv2.rectangle(overlay, (x, y), (x + w, y + h), (0, 255, 0), 2)
+            dist = int(50 * (1.0 - (y + h) / image.shape[0]))
+            cv2.putText(overlay, f"{dist}m", (x, y - 5),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+            n_cars += 1
+    result = cv2.addWeighted(image, 0.6, overlay, 0.4, 0)
+    return result, n_cars
+
+
+@pytest.fixture
+def scene():
+    """A class map with noisy road blobs + two car rectangles + a frame."""
+    rng = np.random.RandomState(0)
+    classes = np.zeros((120, 200), np.uint8)
+    classes[60:, 40:160] = 1            # main road
+    classes[65:70, 10:20] = 1           # small disconnected road blob
+    classes[30:60, 50:90] = 2           # big car (area >> 300)
+    classes[10:14, 100:106] = 2         # tiny car (filtered, area < 300)
+    classes[20:40, 150:190] = 2         # second big car
+    classes[5:15, 5:25] = 6             # sidewalk patch
+    noise = rng.randint(0, 10, (120, 200))
+    classes[noise == 9] = np.where(classes[noise == 9] == 0, 4,
+                                   classes[noise == 9]).astype(np.uint8)
+    frame = rng.randint(0, 255, (120, 200, 3), np.uint8)
+    return frame, classes
+
+
+def test_overlay_matches_reference_semantics(scene):
+    frame, classes = scene
+    ours, det = overlay_predictions(frame, classes)
+    ref, n_cars = _reference_overlay(frame, classes)
+    np.testing.assert_array_equal(ours, ref)
+    assert det["cars"] == n_cars == 2
+
+
+def test_clean_road_semantics(scene):
+    """The reference's cleanup stamps the LARGEST morph-closed component
+    back as road; pixels already class 1 are never removed (the copy at
+    inference.py:109 keeps them) — so the small blob survives, and any gaps
+    inside the main road closed by morphology become road."""
+    _, classes = scene
+    cleaned = clean_road_mask(classes)
+    assert (cleaned[65:70, 10:20] == 1).all()   # small blob kept (by design)
+    assert (cleaned[70:, 60:140] == 1).all()    # main road intact
+    # a 3px crack inside the main road gets closed into road
+    cracked = classes.copy()
+    cracked[80:83, 100] = 0
+    out = clean_road_mask(cracked)
+    assert (out[80:83, 100] == 1).all()
+
+
+def test_predictor_batched_equals_single():
+    pred = Predictor(
+        ModelConfig(name="unet", base_filters=4, num_classes=10),
+        input_hw=(32, 64),
+        batch_size=4,
+    )
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (4, 60, 100, 3), np.uint8)
+    batched = pred(frames)
+    assert batched.shape == (4, 60, 100) and batched.dtype == np.uint8
+    for i in range(4):
+        single = pred(frames[i : i + 1])[0]
+        np.testing.assert_array_equal(batched[i], single)
+
+
+def test_video_pipeline_end_to_end(tmp_path):
+    # synthesize a tiny video
+    src = str(tmp_path / "in.mp4")
+    wr = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (100, 60))
+    rng = np.random.RandomState(1)
+    for _ in range(10):
+        wr.write(rng.randint(0, 255, (60, 100, 3), np.uint8))
+    wr.release()
+
+    pred = Predictor(
+        ModelConfig(name="unet", base_filters=4, num_classes=10),
+        input_hw=(32, 64),
+        batch_size=4,
+    )
+    pipe = VideoPipeline(pred)
+    out = str(tmp_path / "out.mp4")
+    stats = pipe.run(src, output_path=out)
+    assert stats["frames"] == 10
+    assert stats["fps"] > 0
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
+    cap.release()
+
+
+def test_process_frame_matches_pipeline_components():
+    pred = Predictor(
+        ModelConfig(name="unet", base_filters=4, num_classes=10),
+        input_hw=(32, 64),
+        batch_size=1,
+    )
+    pipe = VideoPipeline(pred)
+    frame = np.random.RandomState(2).randint(0, 255, (60, 100, 3), np.uint8)
+    result, det = pipe.process_frame(frame)
+    classes = pred(frame[None, ..., ::-1].copy())[0]
+    expect, expect_det = overlay_predictions(frame, classes)
+    np.testing.assert_array_equal(result, expect)
+    assert det == expect_det

@@ -179,7 +179,13 @@ def _set_dotted(cfg: Any, dotted: str, value: str) -> None:
     ftype = {f.name: f.type for f in dataclasses.fields(obj)}[leaf]
     current = getattr(obj, leaf)
     target = type(current) if current is not None else ftype
-    setattr(obj, leaf, _coerce(value, target))
+    coerced = _coerce(value, target)
+    if leaf == "sources" and isinstance(coerced, tuple):
+        coerced = tuple(
+            DatasetSourceConfig(**s) if isinstance(s, dict) else s
+            for s in coerced
+        )
+    setattr(obj, leaf, coerced)
 
 
 def _apply_dict(obj: Any, d: dict) -> None:

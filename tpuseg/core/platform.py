@@ -1,0 +1,31 @@
+"""Platform selection helper for the CLI entry points.
+
+The runtime image pins ``JAX_PLATFORMS=axon`` via sitecustomize (appending
+to whatever the user sets), so the environment variable alone cannot force
+CPU execution. ``apply_platform_flag`` pops ``--platform=cpu|tpu|axon`` from
+argv and applies it through ``jax.config`` before the backend initializes —
+the reliable override. This mirrors the reference's graceful device
+degradation (cuda -> mps -> cpu, main.py:13-21) as an explicit choice.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+
+def apply_platform_flag(argv: Sequence[str]) -> List[str]:
+    argv = list(argv)
+    platform = None
+    remaining = []
+    for a in argv:
+        if a.startswith("--platform="):
+            platform = a.split("=", 1)[1]
+        else:
+            remaining.append(a)
+    if platform:
+        import jax
+
+        if platform in ("tpu", "axon"):
+            platform = "axon,cpu"  # fall back to CPU if no chip attached
+        jax.config.update("jax_platforms", platform)
+    return remaining

@@ -1,0 +1,14 @@
+from tpuseg.export.quantize import (
+    dequantize_int8,
+    fold_batchnorm,
+    quantize_int8,
+)
+from tpuseg.export.stablehlo import export_model, load_exported
+
+__all__ = [
+    "fold_batchnorm",
+    "quantize_int8",
+    "dequantize_int8",
+    "export_model",
+    "load_exported",
+]

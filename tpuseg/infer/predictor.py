@@ -1,0 +1,120 @@
+"""The device side of inference: preprocess + forward + argmax, one program.
+
+The reference runs per-frame: cv2.resize -> BGR2RGB -> ToTensor+Normalize ->
+forward -> torch.max -> .cpu() -> cv2 nearest resize back to frame size
+(inference.py:28-70), with a host<->device round trip per step. Here the whole
+chain — normalize, forward, argmax, nearest upscale to the output frame size —
+is ONE jitted XLA program over a BATCH of frames; the host only decodes video
+and runs the irregular cv2 postprocess (SURVEY.md §3.2).
+
+Checkpoint sources: an Orbax directory from tpuseg training, a reference
+``.pth`` state_dict, or fresh random init.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.configs import ModelConfig
+from tpuseg.data.augment import normalize_images
+from tpuseg.models.registry import build_model
+from tpuseg.ops.resize import resize_bilinear, resize_nearest
+
+
+def load_variables(checkpoint: str, model_name: str, init_fn) -> dict:
+    """Resolve a checkpoint path into {"params", "batch_stats"} variables."""
+    if not checkpoint:
+        return init_fn()
+    if checkpoint.endswith(".pth"):
+        from tpuseg.core.torch_import import load_pth
+
+        return load_pth(checkpoint, model_name)
+    if os.path.isdir(checkpoint):
+        from tpuseg.core.checkpoint import CheckpointManager
+
+        with CheckpointManager(checkpoint) as mgr:
+            restored = mgr.restore()
+        state = restored["state"] if "state" in restored else restored
+        return {
+            "params": state["params"],
+            "batch_stats": state.get("batch_stats", {}),
+        }
+    raise FileNotFoundError(f"checkpoint {checkpoint!r} not found")
+
+
+class Predictor:
+    """Batched jitted (frames -> class maps) with fixed shapes.
+
+    ``__call__`` takes uint8 RGB frames [B, H, W, 3] at ANY fixed source size
+    and returns uint8 class maps [B, H, W] at that same size: the model-size
+    resize (bilinear, cv2 convention) and the nearest upscale both run on
+    device as part of the single program.
+    """
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        checkpoint: str = "",
+        input_hw: Tuple[int, int] = (128, 256),
+        batch_size: int = 8,
+    ):
+        self.model = build_model(model_cfg)
+        self.input_hw = input_hw
+        self.batch_size = batch_size
+
+        def init_fn():
+            v = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, *input_hw, 3)),
+                train=False,
+            )
+            return {
+                "params": v["params"],
+                "batch_stats": v.get("batch_stats", {}),
+            }
+
+        self.variables = load_variables(checkpoint, model_cfg.name, init_fn)
+        self._jitted = {}
+
+    def _fn_for(self, frame_hw: Tuple[int, int]):
+        if frame_hw in self._jitted:
+            return self._jitted[frame_hw]
+        mh, mw = self.input_hw
+        fh, fw = frame_hw
+
+        @jax.jit
+        def run(variables, frames):
+            x = frames.astype(jnp.float32)
+            # cv2.resize INTER_LINEAR == half-pixel bilinear (inference.py:30)
+            x = resize_bilinear(x, mh, mw, align_corners=False)
+            x = normalize_images(x)
+            logits = self.model.apply(
+                {
+                    "params": variables["params"],
+                    "batch_stats": variables["batch_stats"],
+                },
+                x,
+                train=False,
+            )
+            classes = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            # nearest upscale back to frame size (inference.py:68-70)
+            return resize_nearest(classes, fh, fw)
+
+        self._jitted[frame_hw] = run
+        return run
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        """frames: uint8 RGB [B, H, W, 3] -> class maps uint8 [B, H, W]."""
+        fn = self._fn_for((frames.shape[1], frames.shape[2]))
+        return np.asarray(fn(self.variables, jnp.asarray(frames)))
+
+    def predict_async(self, frames: np.ndarray):
+        """Dispatch without host sync; returns the device array (fetch with
+        np.asarray when needed) — the double-buffering hook for VideoPipeline."""
+        fn = self._fn_for((frames.shape[1], frames.shape[2]))
+        return fn(self.variables, jnp.asarray(frames))

@@ -1,0 +1,160 @@
+"""Batched, double-buffered video inference pipeline.
+
+The reference processes video strictly serially at batch 1: decode ->
+preprocess -> forward -> postprocess -> display, one frame at a time
+(inference.py:151-173). The TPU-shaped replacement (SURVEY.md §3.2):
+
+    reader thread:   decode + BGR->RGB + batch assembly  -> bounded queue
+    device:          ONE jitted program per batch (resize+normalize+forward+
+                     argmax+nearest-upscale), dispatched async
+    main thread:     postprocess batch i-1 (cv2 morphology/CC/contours/blend)
+                     WHILE the device runs batch i — classic double buffering
+
+Per-class masks are identical to the frame-at-a-time path (same jitted fn,
+batching only adds a leading dim) — the parity requirement of SURVEY.md §4.5.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from tpuseg.infer.postprocess import overlay_predictions
+from tpuseg.infer.predictor import Predictor
+
+_STOP = object()
+
+
+class VideoPipeline:
+    def __init__(
+        self,
+        predictor: Predictor,
+        road_cleanup: bool = True,
+        car_boxes: bool = True,
+        min_car_area: float = 300.0,
+        blend_alpha: float = 0.4,
+    ):
+        self.predictor = predictor
+        self.post_kwargs = dict(
+            road_cleanup=road_cleanup,
+            car_boxes=car_boxes,
+            min_car_area=min_car_area,
+            blend_alpha=blend_alpha,
+        )
+
+    # -- single frame (reference-parity mode) -------------------------------
+
+    def process_frame(self, frame_bgr: np.ndarray):
+        """Frame-serial path, same semantics as reference inference.py."""
+        rgb = frame_bgr[..., ::-1]
+        classes = self.predictor(rgb[None])[0]
+        return overlay_predictions(frame_bgr, classes, **self.post_kwargs)
+
+    # -- batched video -------------------------------------------------------
+
+    def _read_batches(self, cap, batch: int, out_q: queue.Queue, max_frames):
+        frames = []
+        n = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok or (max_frames and n >= max_frames):
+                break
+            frames.append(frame)
+            n += 1
+            if len(frames) == batch:
+                out_q.put(frames)
+                frames = []
+        if frames:
+            out_q.put(frames)
+        out_q.put(_STOP)
+
+    def run(
+        self,
+        video_path: str,
+        output_path: str = "",
+        display: bool = False,
+        max_frames: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Process a video file; returns {'frames', 'seconds', 'fps', 'cars'}."""
+        import cv2
+
+        cap = cv2.VideoCapture(video_path)
+        if not cap.isOpened():
+            raise FileNotFoundError(f"cannot open video {video_path!r}")
+        writer = None
+        if output_path:
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            fps_src = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            writer = cv2.VideoWriter(output_path, fourcc, fps_src, (w, h))
+
+        batch = self.predictor.batch_size
+        q_in: queue.Queue = queue.Queue(maxsize=2)
+        reader = threading.Thread(
+            target=self._read_batches,
+            args=(cap, batch, q_in, max_frames),
+            daemon=True,
+            name="tpuseg-video-reader",
+        )
+        t0 = time.perf_counter()
+        reader.start()
+
+        stats = {"frames": 0, "cars": 0}
+        pending = None  # (frames_bgr, device_classes, n_valid)
+        stop = False
+
+        def flush(entry):
+            frames_bgr, dev_out, n_valid = entry
+            classes = np.asarray(dev_out)  # device sync happens HERE
+            for i in range(n_valid):
+                result, det = overlay_predictions(
+                    frames_bgr[i], classes[i], **self.post_kwargs
+                )
+                stats["frames"] += 1
+                stats["cars"] += det["cars"]
+                if writer is not None:
+                    writer.write(result)
+                if display:
+                    cv2.imshow("tpuseg", result)
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        return True
+            return False
+
+        while True:
+            item = q_in.get()
+            if item is _STOP:
+                break
+            frames_bgr = item
+            n_valid = len(frames_bgr)
+            if n_valid < batch:  # pad last batch to keep shapes static
+                frames_bgr = frames_bgr + [frames_bgr[-1]] * (batch - n_valid)
+            rgb = np.stack(frames_bgr)[..., ::-1]
+            dev_out = self.predictor.predict_async(np.ascontiguousarray(rgb))
+            if pending is not None:
+                stop = flush(pending)
+            pending = (frames_bgr, dev_out, n_valid)
+            if stop:
+                break
+        if pending is not None and not stop:
+            flush(pending)
+
+        reader.join(timeout=5)
+        cap.release()
+        if writer is not None:
+            writer.release()
+        if display:
+            cv2.destroyAllWindows()
+        dt = time.perf_counter() - t0
+        stats["seconds"] = dt
+        stats["fps"] = stats["frames"] / dt if dt > 0 else 0.0
+        return stats
+
+    def stream(self, frames_bgr: Iterator[np.ndarray]):
+        """Generator API: yields (result_frame, detections) per input frame."""
+        for frame in frames_bgr:
+            yield self.process_frame(frame)

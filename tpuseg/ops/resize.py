@@ -7,15 +7,13 @@ The reference model mixes TWO bilinear conventions (the classic PyTorch trap):
 - the final x2 upsample: ``align_corners=True`` (src/unet.py:30).
 
 Getting both exactly right is a parity gate, so instead of relying on any
-library resize we build the 1-D interpolation matrix for each convention and
-contract it along H then W:
-
-    out[b, i, j, c] = sum_{h,w} A_h[i, h] * A_w[j, w] * x[b, h, w, c]
-
-Each row of A has at most two nonzeros — XLA lowers these contractions to
-MXU matmuls, which on TPU is *faster* than a gather-based resize and is
-bit-exact in fp32. Matrices are cached per (in, out, mode) and baked into the
-jitted graph as constants.
+library resize we precompute, per axis, the two source taps and fractional
+weight of every output index (in float64 numpy, baked into the jitted graph
+as constants) and interpolate with two ``jnp.take`` gathers + a weighted sum
+per axis. This compiles instantly and runs fast on TPU for arbitrary sizes;
+the earlier interpolation-matrix/einsum formulation is kept (``_apply_hw``)
+for cross-checking but is not the default — its XLA lowering took 85s+ to
+compile for odd downscale sizes (e.g. 180->32) on this backend.
 
 Conventions implemented:
 - ``align_corners=False`` (half-pixel): src = (i + 0.5) * n/m - 0.5, clamped.
@@ -68,11 +66,48 @@ def _nearest_matrix(n_in: int, n_out: int) -> np.ndarray:
     return A
 
 
+@functools.lru_cache(maxsize=None)
+def _bilinear_taps(n_in: int, n_out: int, align_corners: bool):
+    """(lo_idx, hi_idx, frac) int32/float32 arrays for 2-tap interpolation."""
+    if align_corners:
+        if n_out == 1:
+            src = np.zeros(1)
+        else:
+            src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    else:
+        src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+        src = np.clip(src, 0.0, n_in - 1)
+    lo = np.floor(src).astype(np.int32)
+    hi = np.minimum(lo + 1, n_in - 1).astype(np.int32)
+    frac = (src - lo).astype(np.float32)
+    return lo, hi, frac
+
+
+def _interp_axis(x: jnp.ndarray, axis: int, n_out: int, align_corners: bool):
+    """2-tap gather interpolation along one axis (exact torch/cv2 semantics).
+
+    Two ``jnp.take`` gathers + a weighted sum — compiles and runs fast on TPU
+    for arbitrary (in, out) sizes, unlike an interpolation-matrix matmul whose
+    XLA lowering is pathologically slow to compile for odd sizes on this
+    backend (measured 85s+ for a 180->32 contraction).
+    """
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    lo, hi, frac = _bilinear_taps(n_in, n_out, align_corners)
+    xlo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    xhi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    w = jnp.asarray(frac).reshape(shape)
+    return xlo * (1.0 - w) + xhi * w
+
+
 def _apply_hw(x: jnp.ndarray, A_h: np.ndarray, A_w: np.ndarray) -> jnp.ndarray:
-    """Contract [.., H, W, C] with A_h [H'->H] and A_w [W'->W]."""
+    """Contract [.., H, W, C] with A_h [H'->H] and A_w [W'->W] (matrix path,
+    kept for parity testing of the tap path)."""
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    # H contraction then W contraction; XLA maps both onto the MXU.
     y = jnp.einsum("ih,...hwc->...iwc", jnp.asarray(A_h), xf)
     y = jnp.einsum("jw,...iwc->...ijc", jnp.asarray(A_w), y)
     return y.astype(orig_dtype)
@@ -82,12 +117,11 @@ def resize_bilinear(
     x: jnp.ndarray, out_h: int, out_w: int, align_corners: bool = False
 ) -> jnp.ndarray:
     """Bilinear resize of an NHWC (or HWC) tensor with exact torch semantics."""
-    h, w = x.shape[-3], x.shape[-2]
-    return _apply_hw(
-        x,
-        _bilinear_matrix(h, out_h, align_corners),
-        _bilinear_matrix(w, out_w, align_corners),
-    )
+    orig_dtype = x.dtype
+    y = x.astype(jnp.float32)
+    y = _interp_axis(y, x.ndim - 3, out_h, align_corners)
+    y = _interp_axis(y, x.ndim - 2, out_w, align_corners)
+    return y.astype(orig_dtype)
 
 
 def upsample2x_bilinear(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
@@ -102,19 +136,17 @@ def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     Works on [..., H, W] integer class maps (no channel dim) or [..., H, W, C].
     """
     has_channels = x.ndim >= 3 and x.shape[-1] <= 4 and x.shape[-2] > 4
-    if x.ndim == 2 or not has_channels:
-        # [..., H, W] class map: use pure gather to keep integer dtype.
-        h, w = x.shape[-2], x.shape[-1]
-        rows = np.minimum(
-            np.floor(np.arange(out_h) * (h / out_h)), h - 1
-        ).astype(np.int32)
-        cols = np.minimum(
-            np.floor(np.arange(out_w) * (w / out_w)), w - 1
-        ).astype(np.int32)
-        y = jnp.take(x, jnp.asarray(rows), axis=-2)
-        y = jnp.take(y, jnp.asarray(cols), axis=-1)
-        return y
-    h, w = x.shape[-3], x.shape[-2]
-    orig = x.dtype
-    y = _apply_hw(x, _nearest_matrix(h, out_h), _nearest_matrix(w, out_w))
-    return y.astype(orig)
+    if has_channels:
+        h_ax, w_ax = x.ndim - 3, x.ndim - 2
+    else:
+        h_ax, w_ax = x.ndim - 2, x.ndim - 1
+    h, w = x.shape[h_ax], x.shape[w_ax]
+    rows = np.minimum(np.floor(np.arange(out_h) * (h / out_h)), h - 1).astype(
+        np.int32
+    )
+    cols = np.minimum(np.floor(np.arange(out_w) * (w / out_w)), w - 1).astype(
+        np.int32
+    )
+    y = jnp.take(x, jnp.asarray(rows), axis=h_ax)
+    y = jnp.take(y, jnp.asarray(cols), axis=w_ax)
+    return y
