@@ -1,0 +1,68 @@
+"""Pallas kernels: interpret-mode parity on CPU (SURVEY.md §5.2 sanitizer)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpuseg.data.class_maps import COLOR_MAP_BGR, COLOR_MAP_RGB
+from tpuseg.ops.pallas_kernels import (
+    argmax_colorize,
+    argmax_colorize_reference,
+    unpack_colors,
+)
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 256, 10), (1, 8, 128, 10),
+                                   (3, 16, 384, 4)])
+def test_argmax_colorize_matches_reference(shape, rng):
+    logits = jnp.asarray(rng.randn(*shape), jnp.float32)
+    palette = COLOR_MAP_RGB[: shape[-1]]
+    cls_ref, col_ref = argmax_colorize_reference(logits, palette)
+    cls, col = argmax_colorize(logits, palette, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cls), np.asarray(cls_ref))
+    np.testing.assert_array_equal(np.asarray(col), np.asarray(col_ref))
+
+
+def test_non_128_width_falls_back(rng):
+    logits = jnp.asarray(rng.randn(1, 8, 100, 10), jnp.float32)
+    cls, col = argmax_colorize(logits, COLOR_MAP_RGB)
+    cls_ref, col_ref = argmax_colorize_reference(logits, COLOR_MAP_RGB)
+    np.testing.assert_array_equal(np.asarray(cls), np.asarray(cls_ref))
+    np.testing.assert_array_equal(np.asarray(col), np.asarray(col_ref))
+
+
+def test_unpack_colors_roundtrip(rng):
+    classes = rng.randint(0, 10, (32, 64)).astype(np.uint8)
+    logits = np.zeros((1, 32, 64, 10), np.float32)
+    np.put_along_axis(logits[0], classes[..., None].astype(np.int64), 1.0,
+                      axis=-1)
+    _, col = argmax_colorize(jnp.asarray(logits), COLOR_MAP_BGR,
+                             interpret=True)
+    np.testing.assert_array_equal(
+        unpack_colors(np.asarray(col[0])), COLOR_MAP_BGR[classes]
+    )
+
+
+def test_predictor_colorize_on_device_matches_host_path():
+    """The Pallas-colorized pipeline output must equal the plain path
+    byte-for-byte (including the road-cleanup fix-up)."""
+    from tpuseg.configs import ModelConfig
+    from tpuseg.infer.predictor import Predictor
+    from tpuseg.infer.video import VideoPipeline
+
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, (60, 128, 3), np.uint8)
+
+    plain = Predictor(ModelConfig(name="unet", base_filters=4),
+                      input_hw=(32, 128), batch_size=1)
+    fused = Predictor(ModelConfig(name="unet", base_filters=4),
+                      input_hw=(32, 128), batch_size=1,
+                      colorize_on_device=True)
+    # same weights
+    fused.variables = plain.variables
+
+    out_a, det_a = VideoPipeline(plain).process_frame(frame)
+    out_b, det_b = VideoPipeline(fused).process_frame(frame)
+    np.testing.assert_array_equal(out_a, out_b)
+    assert det_a == det_b

@@ -109,16 +109,40 @@ def overlay_predictions(
     car_boxes: bool = True,
     min_car_area: float = 300.0,
     blend_alpha: float = 0.4,
+    precolored_bgr: np.ndarray = None,
 ) -> Tuple[np.ndarray, Dict[str, int]]:
     """frame [H,W,3] BGR + class map [H,W] -> (blended frame, {'cars': n}).
 
     Bitwise-equivalent output to the reference pipeline given the same class
     map (verified in tests/test_infer.py against a literal transcription of
     inference.py:48-146).
+
+    ``precolored_bgr``: the overlay already colorized (on device, by the
+    Pallas fused argmax+colorize kernel) from the PRE-cleanup class map. The
+    road-cleanup only ever turns pixels INTO road, so the host fix-up is a
+    single masked store of the road color — identical output to colorizing
+    the cleaned map.
     """
     if road_cleanup:
-        classes = clean_road_mask(classes)
+        cleaned = clean_road_mask(classes)
+    else:
+        cleaned = classes
+    if precolored_bgr is not None:
+        overlay = precolored_bgr
+        if road_cleanup:
+            changed = cleaned != classes
+            overlay = overlay.copy()
+            overlay[changed] = COLOR_MAP_BGR[ROAD_CLASS]
+        classes = cleaned
+        return _finish(frame_bgr, classes, overlay, car_boxes, min_car_area,
+                       blend_alpha)
+    classes = cleaned
     overlay = colorize(classes)
+    return _finish(frame_bgr, classes, overlay, car_boxes, min_car_area,
+                   blend_alpha)
+
+
+def _finish(frame_bgr, classes, overlay, car_boxes, min_car_area, blend_alpha):
     detected = {"cars": 0}
     if car_boxes:
         detected["cars"] = detect_cars(

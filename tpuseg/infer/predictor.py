@@ -62,10 +62,15 @@ class Predictor:
         checkpoint: str = "",
         input_hw: Tuple[int, int] = (128, 256),
         batch_size: int = 8,
+        colorize_on_device: bool = False,
     ):
         self.model = build_model(model_cfg)
         self.input_hw = input_hw
         self.batch_size = batch_size
+        # Pallas fused argmax+colorize (tpuseg.ops.pallas_kernels): the device
+        # also emits the packed-BGR overlay, so the host skips its palette
+        # gather entirely (the reference's 10-pass recolor, inference.py:109).
+        self.colorize_on_device = colorize_on_device or model_cfg.use_pallas
 
         def init_fn():
             v = self.model.init(
@@ -86,6 +91,7 @@ class Predictor:
             return self._jitted[frame_hw]
         mh, mw = self.input_hw
         fh, fw = frame_hw
+        colorize = self.colorize_on_device
 
         @jax.jit
         def run(variables, frames):
@@ -101,6 +107,19 @@ class Predictor:
                 x,
                 train=False,
             )
+            if colorize:
+                from tpuseg.data.class_maps import COLOR_MAP_BGR
+                from tpuseg.ops.pallas_kernels import argmax_colorize
+
+                interpret = jax.devices()[0].platform == "cpu"
+                classes, packed = argmax_colorize(
+                    logits, COLOR_MAP_BGR, interpret=interpret
+                )
+                # nearest upscale commutes with the palette lookup
+                return (
+                    resize_nearest(classes, fh, fw),
+                    resize_nearest(packed, fh, fw),
+                )
             classes = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
             # nearest upscale back to frame size (inference.py:68-70)
             return resize_nearest(classes, fh, fw)
@@ -108,10 +127,14 @@ class Predictor:
         self._jitted[frame_hw] = run
         return run
 
-    def __call__(self, frames: np.ndarray) -> np.ndarray:
-        """frames: uint8 RGB [B, H, W, 3] -> class maps uint8 [B, H, W]."""
+    def __call__(self, frames: np.ndarray):
+        """frames: uint8 RGB [B, H, W, 3] -> class maps uint8 [B, H, W]
+        (plus packed-BGR uint32 overlays when colorize_on_device)."""
         fn = self._fn_for((frames.shape[1], frames.shape[2]))
-        return np.asarray(fn(self.variables, jnp.asarray(frames)))
+        out = fn(self.variables, jnp.asarray(frames))
+        if self.colorize_on_device:
+            return np.asarray(out[0]), np.asarray(out[1])
+        return np.asarray(out)
 
     def predict_async(self, frames: np.ndarray):
         """Dispatch without host sync; returns the device array (fetch with

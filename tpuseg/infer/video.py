@@ -51,8 +51,17 @@ class VideoPipeline:
     def process_frame(self, frame_bgr: np.ndarray):
         """Frame-serial path, same semantics as reference inference.py."""
         rgb = frame_bgr[..., ::-1]
-        classes = self.predictor(rgb[None])[0]
-        return overlay_predictions(frame_bgr, classes, **self.post_kwargs)
+        out = self.predictor(np.ascontiguousarray(rgb[None]))
+        if self.predictor.colorize_on_device:
+            from tpuseg.ops.pallas_kernels import unpack_colors
+
+            classes, packed = out
+            return overlay_predictions(
+                frame_bgr, classes[0],
+                precolored_bgr=unpack_colors(packed[0]),
+                **self.post_kwargs,
+            )
+        return overlay_predictions(frame_bgr, out[0], **self.post_kwargs)
 
     # -- batched video -------------------------------------------------------
 
@@ -108,12 +117,23 @@ class VideoPipeline:
         pending = None  # (frames_bgr, device_classes, n_valid)
         stop = False
 
+        colorized = self.predictor.colorize_on_device
+        if colorized:
+            from tpuseg.ops.pallas_kernels import unpack_colors
+
         def flush(entry):
             frames_bgr, dev_out, n_valid = entry
-            classes = np.asarray(dev_out)  # device sync happens HERE
+            if colorized:
+                classes = np.asarray(dev_out[0])  # device sync happens HERE
+                packed = np.asarray(dev_out[1])
+            else:
+                classes = np.asarray(dev_out)
             for i in range(n_valid):
                 result, det = overlay_predictions(
-                    frames_bgr[i], classes[i], **self.post_kwargs
+                    frames_bgr[i],
+                    classes[i],
+                    precolored_bgr=unpack_colors(packed[i]) if colorized else None,
+                    **self.post_kwargs,
                 )
                 stats["frames"] += 1
                 stats["cars"] += det["cars"]
