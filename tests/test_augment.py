@@ -67,3 +67,45 @@ def test_mask_labels_never_interpolated(batch):
     fn = make_augment_fn(32, 64, heavy=True)
     _, y = fn(imgs, masks.astype(jnp.uint8), jax.random.PRNGKey(3))
     assert set(np.unique(np.asarray(y))) <= {0, 4, 8}
+
+
+def test_detection_augment_boxes():
+    """bbox-aware path: identity-ish check via statistics + validity filter."""
+    from tpuseg.data.augment import make_detection_augment_fn
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (32, 64, 128, 3), np.uint8))
+    # one centered box + one at the far left edge per sample
+    boxes = jnp.asarray(
+        np.tile(np.array([[[0.5, 0.5, 0.3, 0.3], [0.02, 0.5, 0.04, 0.2]]],
+                         np.float32), (32, 1, 1))
+    )
+    valid = jnp.ones((32, 2), bool)
+    fn = make_detection_augment_fn(64, 128)
+    out_imgs, out_boxes, out_valid = fn(imgs, boxes, valid, jax.random.PRNGKey(0))
+    assert out_imgs.shape == (32, 64, 128, 3)
+    assert out_boxes.shape == (32, 2, 4)
+    ob = np.asarray(out_boxes)
+    ov = np.asarray(out_valid)
+    # surviving boxes stay in [0, 1]
+    assert (ob[ov] >= -1e-5).all() and (ob[ov] <= 1 + 1e-5).all()
+    # the centered box survives most augmentations; the edge box dies under
+    # the heavy x-translations (that's the min_visibility filter working)
+    assert ov[:, 0].mean() > 0.6
+    assert ov[:, 1].mean() < ov[:, 0].mean()
+    # invalidated boxes are zeroed
+    assert (ob[~ov] == 0).all()
+
+
+def test_visualize_blend_and_histogram(tmp_path):
+    from tpuseg.data.sources import SyntheticSource
+    from tpuseg.data.visualize import blend_sample, visualize_sample
+
+    src = SyntheticSource(4, 64, 32)
+    img, mask = visualize_sample(src, 0, out_path=str(tmp_path / "s.png"))
+    assert (tmp_path / "s.png").exists()
+    blended = blend_sample(img, mask)
+    assert blended.shape == img.shape
+    # background pixels untouched, foreground changed where colors differ
+    bg = mask == 0
+    np.testing.assert_array_equal(blended[bg], img[bg])

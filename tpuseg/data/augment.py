@@ -288,13 +288,10 @@ def _standard_sample(img_u8, mask_u8, key, height: int, width: int):
     return img, mask
 
 
-def _heavy_sample(img_u8, mask_u8, key, height: int, width: int):
-    """The reference's full (never-wired) pipeline, src/augmentation.py:14-67,
-    wired in for real: HFlip(.6) -> OneOf heavy x-translate(.8) ->
-    Affine(+-80deg)(.5) -> OneOf color(.5) -> Perspective(.5) -> blur(.3)."""
-    keys = jax.random.split(key, 16)
-    img = img_u8.astype(jnp.float32)
-
+def _heavy_matrix(keys, height: int, width: int) -> jnp.ndarray:
+    """The geometric half of the heavy pipeline as one composed homography:
+    HFlip(.6) -> OneOf heavy x-translate(.8) -> Affine(+-80deg)(.5) ->
+    Perspective(.5). Shared by the segmentation and detection (bbox) paths."""
     m = _maybe(_hflip_matrix(width), jax.random.bernoulli(keys[0], 0.6))
 
     # OneOf heavy horizontal translation, p=.8
@@ -330,6 +327,15 @@ def _heavy_sample(img_u8, mask_u8, key, height: int, width: int):
     p_scale = jax.random.uniform(keys[11], (), minval=0.05, maxval=0.15)
     persp = _perspective_matrix(keys[12], p_scale, width, height)
     m = _maybe(persp, do_persp) @ m
+    return m
+
+
+def _heavy_sample(img_u8, mask_u8, key, height: int, width: int):
+    """The reference's full (never-wired) pipeline, src/augmentation.py:14-67,
+    wired in for real: geometry (_heavy_matrix) + OneOf color(.5) + blur(.3)."""
+    keys = jax.random.split(key, 16)
+    img = img_u8.astype(jnp.float32)
+    m = _heavy_matrix(keys, height, width)
 
     inv = jnp.linalg.inv(m)
     sy, sx = _warp_coords(inv, height, width)
@@ -354,6 +360,79 @@ def _heavy_sample(img_u8, mask_u8, key, height: int, width: int):
     do_blur = jax.random.bernoulli(kb1, 0.3)
     img = jnp.where(do_blur, _blur3(img, kb2), img)
     return img, mask
+
+
+def _detection_sample(img_u8, boxes, valid, key, height: int, width: int,
+                      min_visibility: float = 0.3):
+    """Detection-track augmentation: same heavy geometry, boxes transformed
+    through the homography. Counterpart of the reference's (never-imported)
+    ObjectDetectionAugmentation with BboxParams(format='yolo',
+    min_visibility=0.3), src/augmentation.py:96-130.
+
+    boxes: [N, 4] YOLO-normalized (cx, cy, w, h); valid: [N] bool.
+    Returns (image f32 [H,W,3] in 0..255, boxes [N,4], valid [N]).
+    """
+    keys = jax.random.split(key, 16)
+    img = img_u8.astype(jnp.float32)
+    m = _heavy_matrix(keys, height, width)
+    inv = jnp.linalg.inv(m)
+    sy, sx = _warp_coords(inv, height, width)
+    img = _sample_bilinear(img, sy, sx)
+
+    # transform the 4 corners of every box through the FORWARD homography
+    cx = boxes[:, 0] * width
+    cy = boxes[:, 1] * height
+    bw = boxes[:, 2] * width
+    bh = boxes[:, 3] * height
+    x0, x1 = cx - bw / 2, cx + bw / 2
+    y0, y1 = cy - bh / 2, cy + bh / 2
+    corners_x = jnp.stack([x0, x1, x0, x1], axis=1)  # [N, 4]
+    corners_y = jnp.stack([y0, y0, y1, y1], axis=1)
+    ones = jnp.ones_like(corners_x)
+    pts = jnp.stack([corners_x, corners_y, ones], axis=1)  # [N, 3, 4]
+    mapped = jnp.einsum("ij,njk->nik", m, pts)
+    denom = jnp.where(jnp.abs(mapped[:, 2]) < 1e-8, 1e-8, mapped[:, 2])
+    mx = mapped[:, 0] / denom
+    my = mapped[:, 1] / denom
+    nx0, nx1 = mx.min(axis=1), mx.max(axis=1)
+    ny0, ny1 = my.min(axis=1), my.max(axis=1)
+    # visibility = clipped area / transformed area (albumentations semantics)
+    cx0, cx1 = jnp.clip(nx0, 0, width), jnp.clip(nx1, 0, width)
+    cy0, cy1 = jnp.clip(ny0, 0, height), jnp.clip(ny1, 0, height)
+    area = jnp.maximum(nx1 - nx0, 1e-6) * jnp.maximum(ny1 - ny0, 1e-6)
+    clipped = jnp.maximum(cx1 - cx0, 0.0) * jnp.maximum(cy1 - cy0, 0.0)
+    visible = clipped / area >= min_visibility
+    new_valid = valid & visible & (clipped > 0)
+    new_boxes = jnp.stack(
+        [
+            (cx0 + cx1) / 2 / width,
+            (cy0 + cy1) / 2 / height,
+            (cx1 - cx0) / width,
+            (cy1 - cy0) / height,
+        ],
+        axis=1,
+    )
+    new_boxes = jnp.where(new_valid[:, None], new_boxes, 0.0)
+    return img, new_boxes, new_valid
+
+
+def make_detection_augment_fn(height: int, width: int,
+                              min_visibility: float = 0.3):
+    """Jitted batch detection augment: (u8 imgs [B,H,W,3], boxes [B,N,4] yolo,
+    valid [B,N] bool, key) -> (normalized f32 imgs, boxes, valid)."""
+
+    @jax.jit
+    def fn(images, boxes, valid, key):
+        n = images.shape[0]
+        keys = jax.random.split(key, n)
+        per = functools.partial(
+            _detection_sample, height=height, width=width,
+            min_visibility=min_visibility,
+        )
+        imgs, bxs, vld = jax.vmap(per)(images, boxes, valid, keys)
+        return normalize_images(imgs), bxs, vld
+
+    return fn
 
 
 def normalize_images(img: jnp.ndarray) -> jnp.ndarray:
