@@ -156,3 +156,24 @@ def test_trainer_end_to_end_with_resume(tmp_path, mesh8):
     assert t2.step == 3
     for a, b in zip(jax.tree.leaves(t.state.params), jax.tree.leaves(t2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_tensorboard_scalars(tmp_path, mesh8):
+    """Optional TB writer (SURVEY.md §5.5) emits event files when enabled."""
+    pytest.importorskip("tensorflow")
+    from tpuseg.train.trainer import Trainer
+
+    cfg = load_config([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=2", "--train.checkpoint_dir=",
+        f"--train.tensorboard_dir={tmp_path}/tb", "--train.log_every=0",
+    ])
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=8, weight=1.0),
+    )
+    Trainer(cfg).train()
+    import glob
+
+    assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))

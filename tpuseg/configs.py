@@ -91,6 +91,7 @@ class TrainConfig:
     resume: bool = False
     remat: bool = False                  # jax.checkpoint the encoder to save HBM
     profile_dir: str = ""                # non-empty => jax.profiler trace
+    tensorboard_dir: str = ""            # non-empty => TB scalar summaries
     seed: int = 0
 
 

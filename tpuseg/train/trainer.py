@@ -109,6 +109,23 @@ class Trainer:
             )
         self.step = 0
         self.history: List[Dict] = []
+        self._tb = None
+        if cfg.train.tensorboard_dir:
+            # lazy TF import: only pay the cost when summaries are requested
+            import tensorflow as tf
+
+            self._tb = tf.summary.create_file_writer(cfg.train.tensorboard_dir)
+
+    def _tb_scalars(self, rec: Dict) -> None:
+        if self._tb is None:
+            return
+        import tensorflow as tf
+
+        with self._tb.as_default(step=rec["step"]):
+            for key, value in rec.items():
+                if isinstance(value, (int, float)) and key != "step":
+                    tf.summary.scalar(key, value)
+        self._tb.flush()
 
     # -- checkpointing -----------------------------------------------------
 
@@ -225,6 +242,7 @@ class Trainer:
                     rec.update(self.evaluate())
                 self.history.append(rec)
                 log.info("%s", json.dumps(rec))
+                self._tb_scalars(rec)
                 if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
                     self.save_checkpoint()
         finally:
