@@ -162,3 +162,24 @@ def test_build_source_dispatch():
     assert isinstance(src, SyntheticSource) and len(src) == 5
     with pytest.raises(KeyError):
         build_source(DatasetSourceConfig(kind="imagenet"), 16, 16)
+
+
+def test_pipeline_skips_unreadable_images(fake_bdd, tmp_path):
+    """SURVEY.md §5.3: a corrupt image is skipped-with-redraw, not a crash."""
+    import jax
+
+    from tpuseg.data.pipeline import InputPipeline
+
+    img_dir, mask_dir = fake_bdd
+    # corrupt one image file in place
+    files = sorted(os.listdir(img_dir))
+    with open(os.path.join(img_dir, files[0]), "wb") as f:
+        f.write(b"not an image")
+    src = BDD100KSource(img_dir, mask_dir, width=32, height=16)
+    combined = CombinedDataset([src])
+    pipe = InputPipeline(combined, batch_size=4, height=16, width=32, seed=0)
+    batches = list(pipe.train_batches(3))
+    assert len(batches) == 3
+    for images, masks in batches:
+        assert images.shape == (4, 16, 32, 3)
+        assert bool(jax.numpy.isfinite(images.astype("float32")).all())
