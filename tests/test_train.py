@@ -177,3 +177,27 @@ def test_tensorboard_scalars(tmp_path, mesh8):
     import glob
 
     assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+
+
+def test_checkpoint_restores_across_mesh_shapes(tmp_path):
+    """SURVEY.md §4.4: a checkpoint saved under one mesh restores under a
+    different mesh shape (params are replicated; Orbax re-shards on load)."""
+    from tpuseg.core.checkpoint import CheckpointManager
+    from tpuseg.core.mesh import create_mesh, replicated_sharding
+
+    state = _toy_state()
+    with CheckpointManager(str(tmp_path / "ck")) as mgr:
+        mgr.save(7, {"params": state.params}, force=True)
+        mgr.wait()
+
+    # restore while a (4 data x 2 spatial) mesh is the device layout
+    mesh42 = create_mesh(data=4, spatial=2)
+    template = jax.tree.map(
+        lambda x: jax.device_put(x, replicated_sharding(mesh42)),
+        {"params": state.params},
+    )
+    with CheckpointManager(str(tmp_path / "ck")) as mgr:
+        restored = mgr.restore(template=template)
+    for a, b in zip(jax.tree.leaves(restored["params"]),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

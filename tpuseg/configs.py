@@ -108,7 +108,7 @@ class InferConfig:
     """Video/batch inference. Reference: inference.py (batch=1 serial loop)."""
 
     checkpoint: str = ""
-    video: str = "assets/road2.mp4"      # reference default asset that exists
+    video: str = "assets/demo.mp4"       # synthetic demo clip (tools/make_demo_video.py)
     output: str = ""                     # output video path ("" = no write)
     batch_size: int = 8                  # batched, double-buffered pipeline
     display: bool = False                # cv2.imshow (reference behavior)
