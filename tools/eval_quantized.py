@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Quantization accuracy harness: fp32 vs BN-folded vs int8 vs fp16 mIoU.
+
+SURVEY.md acceptance: int8 PTQ within <=1 mIoU point of FP32 (the reference
+claims FP16/TensorRT deployment qualitatively, README.md:113-117, with no
+accuracy number — this harness produces the number).
+
+    python tools/eval_quantized.py --platform cpu \
+        [--checkpoint ckpt_dir_or_pth] [--samples 64]
+
+With no checkpoint it evaluates a randomly-initialized model on synthetic
+val data — the DELTAS between variants are still meaningful (same inputs,
+same weights modulo quantization).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--model", default="mobilenetv2_unet")
+    p.add_argument("--samples", type=int, default=64)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=128)
+    p.add_argument("--platform", default="")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuseg.configs import ModelConfig
+    from tpuseg.data.augment import normalize_images
+    from tpuseg.data.sources import SyntheticSource
+    from tpuseg.export.quantize import (
+        cast_params,
+        dequantize_int8,
+        fold_batchnorm,
+        quantize_int8,
+    )
+    from tpuseg.infer.predictor import load_variables
+    from tpuseg.models.registry import build_model
+    from tpuseg.train.metrics import confusion_matrix, mean_iou
+
+    model = build_model(ModelConfig(name=args.model))
+
+    def init_fn():
+        v = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, args.height, args.width, 3)), train=False)
+        return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+
+    base = load_variables(args.checkpoint, args.model, init_fn)
+
+    variants = {
+        "fp32": base,
+        "bn_folded": fold_batchnorm(base),
+        "int8_weights": {
+            "params": dequantize_int8(quantize_int8(base["params"])),
+            "batch_stats": base["batch_stats"],
+        },
+        "fp16_weights": {
+            "params": jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.float16).astype(jnp.float32),
+                base["params"],
+            ),
+            "batch_stats": base["batch_stats"],
+        },
+    }
+
+    @jax.jit
+    def predict(variables, x):
+        logits = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            x, train=False)
+        return jnp.argmax(logits, axis=-1)
+
+    src = SyntheticSource(args.samples, args.width, args.height, seed=123)
+    results = {}
+    cms = {k: np.zeros((10, 10), np.int64) for k in variants}
+    agree = {k: [0, 0] for k in variants}
+    for start in range(0, args.samples, args.batch):
+        imgs, masks = zip(*(src.load(i) for i in
+                            range(start, min(start + args.batch, args.samples))))
+        x = normalize_images(jnp.asarray(np.stack(imgs)))
+        y = jnp.asarray(np.stack(masks), jnp.int32)
+        ref_pred = None
+        for name, v in variants.items():
+            pred = predict(v, x)
+            cms[name] += np.asarray(confusion_matrix(pred, y, 10), np.int64)
+            if name == "fp32":
+                ref_pred = pred
+            else:
+                agree[name][0] += int((pred == ref_pred).sum())
+                agree[name][1] += int(pred.size)
+
+    fp32_miou = mean_iou(cms["fp32"])
+    for name in variants:
+        miou = mean_iou(cms[name])
+        results[name] = {
+            "miou": round(miou, 5),
+            "delta_miou_pts": round((miou - fp32_miou) * 100, 4),
+            "mask_agreement": (
+                round(agree[name][0] / agree[name][1], 6)
+                if agree[name][1] else 1.0
+            ),
+        }
+    print(json.dumps(results, indent=2))
+    worst = min(r["delta_miou_pts"] for r in results.values())
+    ok = worst >= -1.0
+    print(f"acceptance (all variants within 1 mIoU point): {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
