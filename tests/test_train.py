@@ -201,3 +201,25 @@ def test_checkpoint_restores_across_mesh_shapes(tmp_path):
     for a, b in zip(jax.tree.leaves(restored["params"]),
                     jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profiler_trace_capture(tmp_path):
+    """--profile_dir flag (SURVEY.md §5.1): jax.profiler writes a trace."""
+    from tpuseg.train.trainer import Trainer
+
+    cfg = load_config([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=2", "--train.checkpoint_dir=",
+        f"--train.profile_dir={tmp_path}/prof", "--train.log_every=0",
+    ])
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=8, weight=1.0),
+    )
+    Trainer(cfg).train()
+    import glob
+
+    assert glob.glob(str(tmp_path / "prof" / "**" / "*.trace.json*"),
+                     recursive=True) or glob.glob(
+        str(tmp_path / "prof" / "**" / "*.xplane.pb"), recursive=True)
