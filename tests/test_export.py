@@ -122,3 +122,34 @@ def test_convert_cli_int8(tmp_path):
         "--export.dtype=int8",
     ])
     assert rc == 0
+
+
+def test_full_int8_inference(trained_like_variables, x):
+    """Calibrated int8 convs end-to-end (tpuseg.export.int8_full)."""
+    from tpuseg.export.int8_full import (
+        calibrate,
+        count_quantized_convs,
+        quantized_apply_fn,
+    )
+
+    m, v = trained_like_variables
+    quant = calibrate(m, v, [x])
+    assert count_quantized_convs(quant) > 10
+    ref = m.apply(v, x, train=False)
+    out = quantized_apply_fn(m, v, quant)(x)
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    agree = float((jnp.argmax(out, -1) == jnp.argmax(ref, -1)).mean())
+    assert rel < 0.15
+    assert agree > 0.9
+    # all quantized kernels really are int8
+    leaves = [l for p, l in jtu.tree_leaves_with_path(quant)
+              if "kernel_q" in str(p)]
+    assert leaves and all(np.asarray(l).dtype == np.int8 for l in leaves)
+
+
+def test_int8_path_inactive_without_quant_collection(trained_like_variables, x):
+    """fp32 path bit-unchanged by the quantization machinery."""
+    m, v = trained_like_variables
+    out = m.apply(v, x, train=False)
+    out2 = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))

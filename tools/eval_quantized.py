@@ -80,12 +80,26 @@ def main(argv=None) -> int:
         },
     }
 
+    # full int8 (calibrated activations + int8 convs)
+    from tpuseg.export.int8_full import calibrate
+
+    calib_src = SyntheticSource(args.batch * 2, args.width, args.height,
+                                seed=77)
+    calib = [
+        normalize_images(jnp.asarray(np.stack(
+            [calib_src.load(i)[0] for i in range(b, b + args.batch)])))
+        for b in (0, args.batch)
+    ]
+    quant = calibrate(model, base, calib)
+    variants["int8_full"] = {**base, "quant": quant}
+
     @jax.jit
     def predict(variables, x):
-        logits = model.apply(
-            {"params": variables["params"],
-             "batch_stats": variables["batch_stats"]},
-            x, train=False)
+        bound = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+        if "quant" in variables:
+            bound["quant"] = variables["quant"]
+        logits = model.apply(bound, x, train=False)
         return jnp.argmax(logits, axis=-1)
 
     src = SyntheticSource(args.samples, args.width, args.height, seed=123)

@@ -3,6 +3,7 @@ from tpuseg.export.quantize import (
     fold_batchnorm,
     quantize_int8,
 )
+from tpuseg.export.int8_full import calibrate, quantized_apply_fn
 from tpuseg.export.stablehlo import export_model, load_exported
 
 __all__ = [
@@ -11,4 +12,6 @@ __all__ = [
     "dequantize_int8",
     "export_model",
     "load_exported",
+    "calibrate",
+    "quantized_apply_fn",
 ]

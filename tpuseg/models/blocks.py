@@ -35,6 +35,14 @@ class ConvBNAct(nn.Module):
     XLA fuses the BN scale/shift and the activation into the conv epilogue;
     at inference the BN folds into the conv weights entirely (see
     tpuseg.export.quantize.fold_batchnorm).
+
+    Full-int8 inference: when a "quant" variable collection is bound (built
+    by tpuseg.export.int8_full.calibrate after a calibration pass), the conv
+    runs as int8 x int8 -> int32 on the MXU — the input is quantized with
+    the calibrated per-tensor activation scale, the kernel is stored int8
+    with per-output-channel scales, and the int32 accumulator is rescaled to
+    float for BN + activation. The fp32 path is untouched when the
+    collection is absent.
     """
 
     features: int
@@ -46,19 +54,60 @@ class ConvBNAct(nn.Module):
     act: Optional[Callable] = nn.relu
     dtype: Any = jnp.float32
 
+    def _quantized_conv(self, x):
+        import jax.numpy as jnp_
+        from jax import lax
+
+        scope = self.scope
+        kq = scope.get_variable("quant", "kernel_q")
+        ks = scope.get_variable("quant", "kernel_scale")
+        act_scale = scope.get_variable("quant", "act_scale")
+        bias = (
+            scope.get_variable("quant", "bias")
+            if scope.has_variable("quant", "bias")
+            else None
+        )
+        xq = jnp_.clip(
+            jnp_.round(x.astype(jnp_.float32) / act_scale), -127, 127
+        ).astype(jnp_.int8)
+        pad = self.padding
+        if isinstance(pad, str):
+            padding = pad
+        else:
+            padding = tuple(tuple(p) for p in pad)
+        y = lax.conv_general_dilated(
+            xq,
+            kq,
+            window_strides=self.strides,
+            padding=padding,
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp_.int32,
+        )
+        scale = (act_scale * ks).reshape((1,) * (y.ndim - 1) + (-1,))
+        y = y.astype(jnp_.float32) * scale
+        if bias is not None:
+            y = y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+        return y.astype(self.dtype)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding=self.padding,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        # calibration taps (no-op unless "intermediates" is mutable)
+        self.sow("intermediates", "conv_in", jnp.asarray(x, jnp.float32))
+        if not train and self.has_variable("quant", "kernel_q"):
+            x = self._quantized_conv(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.strides,
+                padding=self.padding,
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
