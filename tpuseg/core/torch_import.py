@@ -138,13 +138,22 @@ def import_unet(sd: Dict[str, np.ndarray], nest: Tuple[str, ...] = ()) -> dict:
 
 def import_state_dict(sd: Dict[str, np.ndarray], model_name: str) -> dict:
     """Dispatch by tpuseg model-registry name."""
-    if model_name == "mobilenetv2_unet":
-        return import_mobilenetv2_unet(sd)
-    if model_name == "unet":
-        return import_unet(sd)
-    if model_name == "light_unet":
-        return import_unet(sd, nest=("unet",))
-    raise KeyError(f"no importer for model {model_name!r}")
+    importers = {
+        "mobilenetv2_unet": import_mobilenetv2_unet,
+        "unet": import_unet,
+        "light_unet": lambda d: import_unet(d, nest=("unet",)),
+    }
+    if model_name not in importers:
+        raise KeyError(f"no importer for model {model_name!r}")
+    try:
+        return importers[model_name](sd)
+    except KeyError as e:
+        sample = sorted(sd)[:3]
+        raise KeyError(
+            f"state_dict does not look like a {model_name!r} checkpoint: "
+            f"missing key {e.args[0]!r} (checkpoint starts with {sample}). "
+            "Did you pass the right --model.name?"
+        ) from e
 
 
 def load_pth(path: str, model_name: str) -> dict:

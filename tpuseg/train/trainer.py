@@ -83,6 +83,11 @@ class Trainer:
                 val_split=cfg.data.val_split,
                 seed=cfg.data.seed,
             )
+        if cfg.train.batch_size % self.mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} must be divisible by the "
+                f"mesh data axis ({self.mesh.shape['data']} devices)"
+            )
         self.combined = combined
         log.info("%s", combined.summary())
         self.pipeline = InputPipeline(
@@ -93,6 +98,10 @@ class Trainer:
             mesh=self.mesh,
             seed=cfg.data.seed,
             prefetch=cfg.data.prefetch,
+        )
+        log.info(
+            "source sampling probabilities: %s",
+            [round(float(p), 4) for p in self.pipeline.sampler.probs],
         )
 
         self.train_step = make_train_step(mesh=self.mesh, remat=cfg.train.remat)
