@@ -114,3 +114,89 @@ def test_cross_entropy_matches_torch():
     ).item()
     ours = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(targets)))
     assert abs(ours - ref) < 1e-5
+
+
+def test_encoder_stage_taps_match_torch():
+    """Per-stage golden parity (SURVEY.md §4.2): each of the 5 encoder taps
+    matches the torch backbone slices down1..down5."""
+    from tests.torch_ref import TorchMobileNetV2UNet
+    from tpuseg.models.mobilenetv2 import MobileNetV2Encoder
+
+    tm = TorchMobileNetV2UNet(output_channels=10)
+    g = torch.Generator().manual_seed(3)
+    sd = tm.state_dict()
+    for k, v in sd.items():
+        if k.endswith("running_var"):
+            v.uniform_(0.5, 1.5, generator=g)
+        elif v.dtype.is_floating_point:
+            v.uniform_(-0.05, 0.05, generator=g)
+    tm.eval()
+
+    x = np.random.RandomState(3).rand(1, 3, 64, 128).astype(np.float32)
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        taps_ref = []
+        for stage in (tm.down1, tm.down2, tm.down3, tm.down4, tm.down5):
+            t = stage(t)
+            taps_ref.append(t.numpy())
+
+    variables = import_state_dict(_to_numpy_sd(tm), "mobilenetv2_unet")
+    enc = MobileNetV2Encoder()
+    taps = enc.apply(
+        {"params": variables["params"]["backbone"],
+         "batch_stats": variables["batch_stats"]["backbone"]},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    for i, (ours, ref) in enumerate(zip(taps, taps_ref)):
+        ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            ours, ref, rtol=1e-3, atol=1e-5,
+            err_msg=f"stage {i+1} diverged")
+
+
+def test_migration_full_frame_mask_parity():
+    """The BASELINE.json gate end-to-end: a reference-style torch user's
+    checkpoint + video frame, pushed through tpuseg's public Predictor,
+    yields the same per-class mask as the reference inference flow
+    (cv2 resize -> normalize -> forward -> argmax -> nearest upscale)."""
+    import cv2
+
+    from tests.torch_ref import TorchMobileNetV2UNet
+    from tpuseg.configs import ModelConfig
+    from tpuseg.infer.predictor import Predictor
+
+    tm = TorchMobileNetV2UNet(output_channels=10)
+    g = torch.Generator().manual_seed(9)
+    sd = tm.state_dict()
+    for k, v in sd.items():
+        if k.endswith("running_var"):
+            v.uniform_(0.5, 1.5, generator=g)
+        elif v.dtype.is_floating_point:
+            v.uniform_(-0.05, 0.05, generator=g)
+    tm.eval()
+
+    rng = np.random.RandomState(9)
+    frame_rgb = rng.randint(0, 255, (180, 320, 3), np.uint8)
+
+    # reference flow (inference.py:28-70 semantics)
+    small = cv2.resize(frame_rgb, (256, 128), interpolation=cv2.INTER_LINEAR)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    t = (small.astype(np.float32) / 255.0 - mean) / std
+    with torch.no_grad():
+        logits = tm(torch.from_numpy(
+            np.transpose(t, (2, 0, 1))[None])).numpy()
+    classes_ref = np.argmax(logits[0], axis=0).astype(np.uint8)
+    classes_ref = cv2.resize(classes_ref, (320, 180),
+                             interpolation=cv2.INTER_NEAREST)
+
+    # tpuseg flow: .pth import + public Predictor
+    import tempfile
+
+    pth = tempfile.mktemp(suffix=".pth")
+    torch.save(tm.state_dict(), pth)
+    pred = Predictor(ModelConfig(name="mobilenetv2_unet"), checkpoint=pth,
+                     input_hw=(128, 256), batch_size=1)
+    ours = pred(frame_rgb[None])[0]
+
+    agreement = (ours == classes_ref).mean()
+    assert agreement > 0.999, f"mask agreement {agreement}"
