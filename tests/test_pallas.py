@@ -66,3 +66,41 @@ def test_predictor_colorize_on_device_matches_host_path():
     out_b, det_b = VideoPipeline(fused).process_frame(frame)
     np.testing.assert_array_equal(out_a, out_b)
     assert det_a == det_b
+
+
+@pytest.mark.parametrize("shape_case", [
+    (2, 32, 16, 24, 40, 32, 8),
+    (1, 8, 8, 16, 96, 64, 4),
+])
+def test_fused_upconcat_matches_reference(shape_case, rng):
+    from tpuseg.ops.pallas_kernels import (
+        fused_upconcat_reference,
+        fused_upsample_concat_conv,
+    )
+
+    bsz, h2, w2, cs, cx, cout, tile = shape_case
+    skip = jnp.asarray(rng.randn(bsz, h2, w2, cs), jnp.float32)
+    x = jnp.asarray(rng.randn(bsz, h2 // 2, w2 // 2, cx), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, cs + cx, cout) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+    ref = fused_upconcat_reference(skip, x, w, b)
+    out = fused_upsample_concat_conv(skip, x, w, b, tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_decoder_model_matches_plain():
+    """MobileNetV2UNet(use_pallas=True) == plain model at inference."""
+    import jax
+
+    from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
+
+    plain = MobileNetV2UNet(output_channels=10)
+    fused = MobileNetV2UNet(output_channels=10, use_pallas=True)
+    v = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)),
+                   train=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 64, 3), jnp.float32)
+    ref = plain.apply(v, x, train=False)
+    out = fused.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

@@ -90,8 +90,55 @@ class ConvBNAct(nn.Module):
             y = y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
         return y.astype(self.dtype)
 
+    def _fused_upconcat(self, skip, up_in):
+        """First decoder conv via the Pallas fused upsample+concat+conv
+        kernel (tpuseg.ops.pallas_kernels) — the concat never materializes.
+        Reads this module's own conv params; tree layout unchanged."""
+        import jax as jax_
+
+        from tpuseg.ops.pallas_kernels import fused_upsample_concat_conv
+
+        conv_params = self.scope.get_variable("params", "conv")
+        interpret = jax_.devices()[0].platform == "cpu"
+        return fused_upsample_concat_conv(
+            skip,
+            up_in,
+            conv_params["kernel"],
+            conv_params.get("bias", jnp.zeros(self.features)),
+            interpret=interpret,
+        ).astype(self.dtype)
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, upconcat_pair=None):
+        if upconcat_pair is not None:
+            skip, up_in = upconcat_pair
+            if (
+                not self.is_initializing()
+                and not train
+                and self.has_variable("params", "conv")
+                and self.kernel == (3, 3)
+                and self.strides == (1, 1)
+                and self.groups == 1
+            ):
+                x = self._fused_upconcat(skip, up_in)
+                x = nn.BatchNorm(
+                    use_running_average=True,
+                    momentum=BN_MOMENTUM,
+                    epsilon=BN_EPS,
+                    dtype=jnp.float32,
+                    param_dtype=jnp.float32,
+                    name="bn",
+                )(x.astype(jnp.float32)).astype(self.dtype)
+                if self.act is not None:
+                    x = self.act(x)
+                return x
+            # init / train / unsupported config: materialize normally
+            from tpuseg.ops.resize import upsample2x_bilinear
+
+            x = jnp.concatenate(
+                [skip, upsample2x_bilinear(up_in, align_corners=False)],
+                axis=-1,
+            )
         # calibration taps (no-op unless "intermediates" is mutable)
         self.sow("intermediates", "conv_in", jnp.asarray(x, jnp.float32))
         if not train and self.has_variable("quant", "kernel_q"):
@@ -122,14 +169,20 @@ class ConvBNAct(nn.Module):
 
 
 class DoubleConv(nn.Module):
-    """(Conv3x3 -> BN -> ReLU) x 2 — reference double_conv, src/unet.py:53-68."""
+    """(Conv3x3 -> BN -> ReLU) x 2 — reference double_conv, src/unet.py:53-68.
+
+    ``upconcat_pair=(skip, x)`` routes the first conv through the Pallas
+    fused upsample+concat+conv path (parameter tree unchanged).
+    """
 
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = ConvBNAct(self.features, dtype=self.dtype, name="conv1")(x, train)
+    def __call__(self, x, train: bool = False, upconcat_pair=None):
+        x = ConvBNAct(self.features, dtype=self.dtype, name="conv1")(
+            x, train, upconcat_pair=upconcat_pair
+        )
         x = ConvBNAct(self.features, dtype=self.dtype, name="conv2")(x, train)
         return x
 
@@ -150,14 +203,21 @@ class Up(nn.Module):
     """Bilinear x2 (align_corners=False), concat [skip, upsampled], DoubleConv.
 
     Reference up, src/unet.py:94-105. Channel order: skip first
-    (torch.cat([x2, x1]) at src/unet.py:103).
+    (torch.cat([x2, x1]) at src/unet.py:103). With ``use_pallas`` the
+    upsample+concat+first-conv run as one fused Pallas kernel at inference
+    (neither intermediate reaches HBM).
     """
 
     features: int
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
+        if self.use_pallas:
+            return DoubleConv(self.features, dtype=self.dtype, name="conv")(
+                None, train, upconcat_pair=(skip, x)
+            )
         x = upsample2x_bilinear(x, align_corners=False)
         x = jnp.concatenate([skip, x], axis=-1)
         return DoubleConv(self.features, dtype=self.dtype, name="conv")(x, train)

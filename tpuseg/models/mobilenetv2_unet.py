@@ -29,17 +29,19 @@ class MobileNetV2UNet(nn.Module):
     output_channels: int = 10
     width_mult: float = 1.0
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused decoder upsample+concat+conv kernels
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        up = self.use_pallas
         x1, x2, x3, x4, x5 = MobileNetV2Encoder(
             width_mult=self.width_mult, dtype=dt, name="backbone"
         )(x, train)
-        y = Up(256, dtype=dt, name="up1")(x5, x4, train)
-        y = Up(128, dtype=dt, name="up2")(y, x3, train)
-        y = Up(64, dtype=dt, name="up3")(y, x2, train)
-        y = Up(32, dtype=dt, name="up4")(y, x1, train)
+        y = Up(256, dtype=dt, use_pallas=up, name="up1")(x5, x4, train)
+        y = Up(128, dtype=dt, use_pallas=up, name="up2")(y, x3, train)
+        y = Up(64, dtype=dt, use_pallas=up, name="up3")(y, x2, train)
+        y = Up(32, dtype=dt, use_pallas=up, name="up4")(y, x1, train)
         y = OutConv(self.output_channels, dtype=dt, name="outc")(y, train)
         # final x2, align_corners=True (src/unet.py:30)
         return upsample2x_bilinear(y.astype(jnp.float32), align_corners=True)

@@ -20,6 +20,7 @@ MODEL_REGISTRY: Dict[str, Callable] = {
         output_channels=cfg.num_classes,
         width_mult=cfg.width_mult,
         dtype=_dtype(cfg),
+        use_pallas=cfg.use_pallas,
     ),
     "unet": lambda cfg: UNet(
         output_channels=cfg.num_classes,

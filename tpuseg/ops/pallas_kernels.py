@@ -110,3 +110,153 @@ def unpack_colors(packed: np.ndarray) -> np.ndarray:
     return np.stack(
         [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF], axis=-1
     ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2 — fused bilinear-2x-upsample + skip-concat + 3x3 conv (+bias).
+#
+# The decoder's hot block (reference up, src/unet.py:94-105) is
+#     y = conv3x3(cat([skip, upsample2x(x)], C)) + bias
+# whose naive execution materializes BOTH the upsampled tensor and the
+# concatenated tensor in HBM (up1 at 512x512 input: a 1344-channel concat).
+# This kernel keeps them in VMEM: per (batch, H-tile) grid cell it loads a
+# halo'd skip tile and the matching x tile (pl.Element blocks with padding),
+# reconstructs the upsample IN REGISTERS (the fixed 0.25/0.75 half-pixel
+# pattern of align_corners=False, edge-clamped), and accumulates the conv as
+# 9 shifted MXU matmuls per input part — using the SPLIT kernel identity
+#     conv(cat(a, b)) = conv_a(a) + conv_b(b)
+# so the concat never exists anywhere. BN + activation stay in the caller
+# (ConvBNAct applies them after), keeping parameter trees unchanged.
+
+
+def fused_upconcat_reference(skip, x, w, b):
+    """Pure-JAX reference: conv3x3(cat([skip, up2x(x)]), w) + b."""
+    from tpuseg.ops.resize import upsample2x_bilinear
+
+    up = upsample2x_bilinear(x, align_corners=False)
+    cat = jnp.concatenate([skip, up], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        cat.astype(jnp.float32),
+        w.astype(jnp.float32),
+        (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b.reshape((1, 1, 1, -1))
+
+
+def _upconcat_kernel(skip_ref, x_ref, ws_ref, wx_ref, b_ref, out_ref,
+                     *, tile, h2, w2, cs, cx, cout):
+    i_h = pl.program_id(1)
+    n_h = pl.num_programs(1)
+    f32 = jnp.float32
+
+    skip_blk = skip_ref[0].astype(f32)          # [tile+2, w2, cs]
+    xb = x_ref[0].astype(f32)                   # [tile//2+2, w, cx]
+
+    # --- global row bookkeeping -------------------------------------------
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile + 2, 1, 1), 0)
+    r_global = i_h * tile - 1 + rows            # skip/up rows covered
+    skip_valid = (r_global >= 0) & (r_global < h2)
+    skip_blk = jnp.where(skip_valid, skip_blk, 0.0)  # conv zero padding
+
+    xrows = jax.lax.broadcasted_iota(jnp.int32, (tile // 2 + 2, 1, 1), 0)
+    # x block rows are x[i_h*tile//2 - 1 + j]; clamp-replicate at the edges
+    # (bilinear edge semantics), the conv halo OOB rows are zeroed later.
+    top = i_h == 0
+    bot = i_h == n_h - 1
+    last = tile // 2 + 1
+    xb = jnp.where((xrows == 0) & top, xb[1:2], xb)
+    xb = jnp.where((xrows == last) & bot, xb[last - 1:last], xb)
+
+    # --- upsample x in H: rows u=0..tile+1 <-> global r = i_h*tile - 1 + u
+    xa = xb[0 : tile // 2 + 1]                  # xb[k]
+    xbb = xb[1 : tile // 2 + 2]                 # xb[k+1]
+    odd_u = 0.75 * xa + 0.25 * xbb              # u = 2k   (odd global rows)
+    even_u = 0.25 * xa + 0.75 * xbb             # u = 2k+1 (even global rows)
+    up_h = jnp.stack([odd_u, even_u], axis=1).reshape(
+        tile + 2, xb.shape[1], cx
+    )
+    # zero the conv-halo rows that fall outside the image
+    up_h = jnp.where(skip_valid, up_h, 0.0)
+
+    # --- upsample in W (fully static) -------------------------------------
+    xm1 = jnp.concatenate([up_h[:, :1], up_h[:, :-1]], axis=1)
+    xp1 = jnp.concatenate([up_h[:, 1:], up_h[:, -1:]], axis=1)
+    w_even = 0.25 * xm1 + 0.75 * up_h           # output col 2c
+    w_odd = 0.75 * up_h + 0.25 * xp1            # output col 2c+1
+    up = jnp.stack([w_even, w_odd], axis=2).reshape(tile + 2, w2, cx)
+
+    # --- 3x3 conv as 9 shifted matmuls per part ---------------------------
+    def conv_part(blk, w_ref, cin):
+        padded = jnp.pad(blk, ((0, 0), (1, 1), (0, 0)))
+        acc = jnp.zeros((tile * w2, cout), f32)
+        for dy in range(3):
+            for dx in range(3):
+                patch = padded[dy : dy + tile, dx : dx + w2, :].reshape(
+                    tile * w2, cin
+                )
+                acc = acc + jnp.dot(
+                    patch, w_ref[dy, dx], preferred_element_type=f32
+                )
+        return acc
+
+    acc = conv_part(skip_blk, ws_ref, cs) + conv_part(up, wx_ref, cx)
+    acc = acc + b_ref[:].reshape(1, cout)
+    out_ref[0] = acc.reshape(tile, w2, cout).astype(out_ref.dtype)
+
+
+def fused_upsample_concat_conv(
+    skip: jnp.ndarray,
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    tile: int = 16,
+    interpret: bool = False,
+):
+    """conv3x3(cat([skip, up2x(x)]), w) + b without materializing either
+    intermediate. skip [B,2H,2W,Cs], x [B,H,W,Cx], w [3,3,Cs+Cx,Cout].
+
+    Falls back to the pure-JAX reference when shapes don't tile cleanly.
+    """
+    from jax._src.pallas.core import Element
+
+    bsz, h2, w2, cs = skip.shape
+    _, h, wdim, cx = x.shape
+    cout = w.shape[-1]
+    if h2 != 2 * h or w2 != 2 * wdim or w.shape[2] != cs + cx:
+        raise ValueError("shape mismatch between skip, x and w")
+    while tile > 2 and (h2 % tile != 0 or tile > h2):
+        tile //= 2
+    if h2 % tile != 0 or tile % 2 != 0:
+        return fused_upconcat_reference(skip, x, w, b)
+
+    ws = jnp.asarray(w[:, :, :cs, :], jnp.float32)
+    wx = jnp.asarray(w[:, :, cs:, :], jnp.float32)
+
+    kernel = functools.partial(
+        _upconcat_kernel, tile=tile, h2=h2, w2=w2, cs=cs, cx=cx, cout=cout
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, h2 // tile),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Element(tile + 2, (1, 1)), w2, cs),
+                lambda bi, hi: (bi, hi * tile, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, Element(tile // 2 + 2, (1, 1)), wdim, cx),
+                lambda bi, hi: (bi, hi * (tile // 2), 0, 0),
+            ),
+            pl.BlockSpec((3, 3, cs, cout), lambda bi, hi: (0, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cx, cout), lambda bi, hi: (0, 0, 0, 0)),
+            pl.BlockSpec((cout,), lambda bi, hi: (0,)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, w2, cout), lambda bi, hi: (bi, hi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h2, w2, cout), jnp.float32),
+        interpret=interpret,
+    )(skip, x, ws, wx, jnp.asarray(b, jnp.float32))
+    return out
