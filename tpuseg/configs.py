@@ -81,6 +81,11 @@ class TrainConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # Optional LR schedule (reference has none: constant Adam LR).
+    lr_schedule: str = ""                # "" (constant) | "cosine"
+    warmup_steps: int = 0
+    progress: bool = False               # tqdm bar (reference src/train.py:27)
+    debug_nans: bool = False             # jax_debug_nans for production runs
     epochs: int = 200                    # main.py:103
     steps_per_epoch: int = 0             # 0 = derive from dataset size
     log_every: int = 50

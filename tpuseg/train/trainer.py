@@ -57,8 +57,29 @@ class Trainer:
         self.mesh = create_mesh(cfg.mesh.data, cfg.mesh.spatial)
         log.info("devices: %s | mesh: %s", local_device_kind(), self.mesh)
 
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
         self.model = build_model(cfg.model)
         rng = jax.random.PRNGKey(cfg.train.seed)
+        tx = None
+        if cfg.train.lr_schedule == "cosine":
+            import optax
+
+            total = max(
+                1,
+                cfg.train.epochs
+                * (cfg.train.steps_per_epoch or 1000),
+            )
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=cfg.train.lr,
+                warmup_steps=cfg.train.warmup_steps,
+                decay_steps=total,
+            )
+            tx = optax.adam(
+                schedule, b1=cfg.train.b1, b2=cfg.train.b2, eps=cfg.train.eps
+            )
         self.state = create_train_state(
             self.model,
             rng,
@@ -67,6 +88,7 @@ class Trainer:
             b1=cfg.train.b1,
             b2=cfg.train.b2,
             eps=cfg.train.eps,
+            tx=tx,
         )
 
         if combined is None:
@@ -118,6 +140,7 @@ class Trainer:
             )
         self.step = 0
         self.history: List[Dict] = []
+        self._best_miou = float("-inf")
         self._tb = None
         if cfg.train.tensorboard_dir:
             # lazy TF import: only pay the cost when summaries are requested
@@ -220,7 +243,18 @@ class Trainer:
                 t0 = time.perf_counter()
                 losses = []
                 pending = None  # one-step-lagged loss fetch
-                for images, masks in self.pipeline.train_batches(spe):
+                batches = self.pipeline.train_batches(spe)
+                if cfg.progress:
+                    try:
+                        from tqdm import tqdm
+
+                        batches = tqdm(
+                            batches, total=spe,
+                            desc=f"epoch {epoch + 1}/{epochs}",
+                        )
+                    except ImportError:  # pragma: no cover
+                        pass
+                for images, masks in batches:
                     self._aug_key, k = jax.random.split(self._aug_key)
                     x, y = self.augment(images, masks, k)
                     self.state, metrics = self.train_step(self.state, x, y)
@@ -249,6 +283,20 @@ class Trainer:
                     and (epoch + 1) % cfg.eval_every_epochs == 0
                 ):
                     rec.update(self.evaluate())
+                    miou = rec.get("val_miou")
+                    if miou is not None and miou > self._best_miou:
+                        self._best_miou = miou
+                        rec["best"] = True
+                        if cfg.checkpoint_dir:
+                            import os as _os
+
+                            with open(
+                                _os.path.join(cfg.checkpoint_dir, "best.json"),
+                                "w",
+                            ) as f:
+                                json.dump(
+                                    {"step": self.step, "val_miou": miou}, f
+                                )
                 self.history.append(rec)
                 log.info("%s", json.dumps(rec))
                 self._tb_scalars(rec)
