@@ -84,3 +84,18 @@ def test_registry():
         build_model(ModelConfig(name=name, base_filters=8))
     with pytest.raises(KeyError):
         build_model(ModelConfig(name="nope"))
+
+
+def test_stem_space_to_depth_equivalence():
+    """stem_s2d (on by default) is an exact rewrite of the 3x3 s2 stem."""
+    from tpuseg.models.mobilenetv2 import MobileNetV2Encoder
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 128, 3), jnp.float32)
+    enc_a = MobileNetV2Encoder(stem_s2d=False)
+    enc_b = MobileNetV2Encoder(stem_s2d=True)
+    v = enc_a.init(jax.random.PRNGKey(0), x, train=False)
+    taps_a = enc_a.apply(v, x, train=False)
+    taps_b = enc_b.apply(v, x, train=False)
+    for a, b in zip(taps_a, taps_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

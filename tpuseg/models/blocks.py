@@ -53,6 +53,29 @@ class ConvBNAct(nn.Module):
     use_bias: bool = True
     act: Optional[Callable] = nn.relu
     dtype: Any = jnp.float32
+    stem_s2d: bool = False  # space-to-depth input transform (3ch stems)
+
+    def _s2d_conv(self, x):
+        """3x3 stride-2 stem as a 2x2 stride-1 conv over the space-to-depth
+        input — 12 channels instead of 3 on the network's largest tensor
+        (the classic TPU input trick; exact-equivalent kernel rearrangement,
+        see tpuseg.models.mobilenetv2.space_to_depth_stem_kernel)."""
+        from jax import lax
+
+        from tpuseg.models.mobilenetv2 import (
+            space_to_depth,
+            space_to_depth_stem_kernel,
+        )
+
+        kernel = self.scope.get_variable("params", "conv")["kernel"]
+        k2 = space_to_depth_stem_kernel(kernel)
+        return lax.conv_general_dilated(
+            space_to_depth(x).astype(self.dtype),
+            k2.astype(self.dtype),
+            (1, 1),
+            ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
     def _quantized_conv(self, x):
         import jax.numpy as jnp_
@@ -143,6 +166,14 @@ class ConvBNAct(nn.Module):
         self.sow("intermediates", "conv_in", jnp.asarray(x, jnp.float32))
         if not train and self.has_variable("quant", "kernel_q"):
             x = self._quantized_conv(x)
+        elif (
+            self.stem_s2d
+            and not self.is_initializing()
+            and self.has_variable("params", "conv")
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            x = self._s2d_conv(x)
         else:
             x = nn.Conv(
                 self.features,

@@ -28,6 +28,7 @@ from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from tpuseg.models.blocks import ConvBNAct
 
@@ -110,6 +111,7 @@ class MobileNetV2Encoder(nn.Module):
 
     width_mult: float = 1.0
     dtype: Any = jnp.float32
+    stem_s2d: bool = True  # space-to-depth stem (exact-equivalent rewrite)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -126,6 +128,7 @@ class MobileNetV2Encoder(nn.Module):
             use_bias=False,
             act=relu6,
             dtype=dt,
+            stem_s2d=self.stem_s2d,
             name="features_0",
         )(x, train)
         idx = 1
@@ -155,3 +158,38 @@ class MobileNetV2Encoder(nn.Module):
         )(x, train)
         taps.append(x)
         return taps
+
+
+def space_to_depth_stem_kernel(kernel3x3: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange the stem's [3,3,3,C] stride-2 kernel into the equivalent
+    [2,2,12,C] stride-1 kernel over a space-to-depth(2) input.
+
+    The classic TPU input trick: a 3x3 stride-2 conv on [H,W,3] reads, for
+    output (i,j), input rows/cols 2i-1..2i+1 — i.e. 2x2 blocks (i-1..i) of
+    the space-to-depth image whose 12 channels are the (dy,dx,rgb) subpixels.
+    Channels go from 3 (wasting 125/128 MXU lanes on the largest tensor in
+    the network) to 12, and the strided access becomes dense.
+
+    s2d channel layout: c = (a * 2 + b) * 3 + rgb for subpixel (a, b).
+    Pure-jnp (traceable under jit: the kernel is a traced parameter).
+    """
+    k = kernel3x3  # [3, 3, 3, C] (dy, dx, rgb, out)
+    cout = k.shape[-1]
+    out = jnp.zeros((2, 2, 12, cout), k.dtype)
+    # output pixel (i,j): tap (dy,dx) in 0..2 reads input (2i+dy-1, 2j+dx-1)
+    # = s2d block (i-1 + (dy+1)//2, j-1 + (dx+1)//2), subpixel ((dy+1)%2, (dx+1)%2)
+    for dy in range(3):
+        for dx in range(3):
+            p, a = divmod(dy + 1, 2)   # block row offset (0|1), subpixel row
+            q, b = divmod(dx + 1, 2)
+            c0 = (a * 2 + b) * 3
+            out = out.at[p, q, c0 : c0 + 3, :].set(k[dy, dx])
+    return out
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 3] -> [B, H/2, W/2, 12] with (a,b,rgb) channel order."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, H/2, W/2, a, b, c]
+    return x.reshape(b, h // 2, w // 2, 4 * c)
