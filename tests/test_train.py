@@ -223,3 +223,21 @@ def test_profiler_trace_capture(tmp_path):
     assert glob.glob(str(tmp_path / "prof" / "**" / "*.trace.json*"),
                      recursive=True) or glob.glob(
         str(tmp_path / "prof" / "**" / "*.xplane.pb"), recursive=True)
+
+
+@pytest.mark.parametrize("opt", ["adamw", "sgd"])
+def test_optimizer_options(tmp_path, opt):
+    from tpuseg.train.trainer import Trainer
+
+    cfg = load_config([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=2", "--train.checkpoint_dir=",
+        f"--train.optimizer={opt}", "--train.log_every=0",
+    ])
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=8, weight=1.0),
+    )
+    hist = Trainer(cfg).train()
+    assert np.isfinite(hist[0]["train_loss"])

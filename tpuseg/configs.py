@@ -84,6 +84,9 @@ class TrainConfig:
     # Optional LR schedule (reference has none: constant Adam LR).
     lr_schedule: str = ""                # "" (constant) | "cosine"
     warmup_steps: int = 0
+    optimizer: str = "adam"              # "adam" | "adamw" | "sgd"
+    weight_decay: float = 1e-4           # adamw only
+    momentum: float = 0.9                # sgd only
     progress: bool = False               # tqdm bar (reference src/train.py:27)
     debug_nans: bool = False             # jax_debug_nans for production runs
     epochs: int = 200                    # main.py:103

@@ -62,24 +62,7 @@ class Trainer:
 
         self.model = build_model(cfg.model)
         rng = jax.random.PRNGKey(cfg.train.seed)
-        tx = None
-        if cfg.train.lr_schedule == "cosine":
-            import optax
-
-            total = max(
-                1,
-                cfg.train.epochs
-                * (cfg.train.steps_per_epoch or 1000),
-            )
-            schedule = optax.warmup_cosine_decay_schedule(
-                init_value=0.0,
-                peak_value=cfg.train.lr,
-                warmup_steps=cfg.train.warmup_steps,
-                decay_steps=total,
-            )
-            tx = optax.adam(
-                schedule, b1=cfg.train.b1, b2=cfg.train.b2, eps=cfg.train.eps
-            )
+        tx = self._build_optimizer()
         self.state = create_train_state(
             self.model,
             rng,
@@ -158,6 +141,36 @@ class Trainer:
                 if isinstance(value, (int, float)) and key != "step":
                     tf.summary.scalar(key, value)
         self._tb.flush()
+
+    def _build_optimizer(self):
+        """None => train_step's default (reference-parity Adam). Otherwise an
+        optax chain for the configured optimizer/schedule."""
+        import optax
+
+        cfg = self.cfg.train
+        if cfg.lr_schedule == "" and cfg.optimizer == "adam":
+            return None
+        lr = cfg.lr
+        if cfg.lr_schedule == "cosine":
+            total = max(1, cfg.epochs * (cfg.steps_per_epoch or 1000))
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=cfg.lr,
+                warmup_steps=cfg.warmup_steps,
+                decay_steps=total,
+            )
+        elif cfg.lr_schedule:
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+        if cfg.optimizer == "adam":
+            return optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+        if cfg.optimizer == "adamw":
+            return optax.adamw(
+                lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                weight_decay=cfg.weight_decay,
+            )
+        if cfg.optimizer == "sgd":
+            return optax.sgd(lr, momentum=cfg.momentum)
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
     # -- checkpointing -----------------------------------------------------
 
