@@ -78,25 +78,43 @@ class InputPipeline:
     def train_batches(self, num_steps: int) -> Iterator[Tuple[jax.Array, jax.Array]]:
         """Stream ``num_steps`` sharded device batches, produced by a
         background thread through a bounded queue (single-producer /
-        single-consumer — SURVEY.md §5.2)."""
+        single-consumer — SURVEY.md §5.2). Abandoning the generator early
+        (break / exception) stops the producer thread promptly."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
 
         def producer():
             try:
                 for _ in range(num_steps):
                     picks = self.sampler.sample(self.batch_size)
-                    q.put(self._assemble(picks))
+                    batch = self._assemble(picks)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(_STOP)
+                while not stop.is_set():
+                    try:
+                        q.put(_STOP, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True, name="tpuseg-loader")
         t.start()
-        while True:
-            batch = q.get()
-            if batch is _STOP:
-                break
-            yield self._put(batch)
-        t.join()
+        try:
+            while True:
+                batch = q.get()
+                if batch is _STOP:
+                    break
+                yield self._put(batch)
+        finally:
+            stop.set()
+            t.join(timeout=5)
 
     # -- evaluation --------------------------------------------------------
 
