@@ -1,7 +1,8 @@
 """Headline benchmark: flagship inference throughput on one TPU chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "tflops": N, "mfu_pct": N}
 
 Metric: MobileNetV2UNet (the reference's production model) forward + argmax
 at 512x512, bf16 compute, batch 64 — the BASELINE.md north-star config.
@@ -14,6 +15,15 @@ the remote-device tunnel, so naive async timing overstates throughput ~100x
 (verified: per-call host-synced latency matches the scan-chained number,
 not the async one).
 
+A/B toggles (env, for on-chip experiments without editing source):
+    TPUSEG_BENCH_S2D=1      space-to-depth stem rewrite
+    TPUSEG_BENCH_PALLAS=1   fused Pallas decoder kernels
+    TPUSEG_BENCH_BATCH=N    override batch size
+
+Regression guard: if the measured fps falls below 0.8x the best real
+(non-stale) measurement in bench_history.json for the same config, the JSON
+carries "regression_from_best": <best> and a warning goes to stderr.
+
 Baseline denominator: the reference implementation's single-image CPU
 inference (PyTorch eval forward + argmax, 1 thread) measured on this host =
 2.58 fps at 512x512 (18.0 fps at its native 256x128). The reference publishes
@@ -25,29 +35,64 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
 
 # Measured via tests/torch_ref.TorchMobileNetV2UNet.eval(), batch=1,
 # torch.set_num_threads(1), on this host (see module docstring).
 REFERENCE_CPU_FPS_512 = 2.58
 
-BATCH = 64
+# TPU v5e (v5 lite) bf16 peak: 197 TFLOP/s per chip (public spec).
+PEAK_BF16_TFLOPS = 197.0
+
+# MobileNetV2UNet forward FLOPs per 512x512 frame (matmul/conv FLOPs from
+# XLA cost_analysis of the jitted forward, batch-normalized; recomputed live
+# when cost_analysis is available on the backend, this is the fallback).
+FLOPS_PER_FRAME_512_FALLBACK = 24.0e9
+
+BATCH = int(os.environ.get("TPUSEG_BENCH_BATCH", "64"))
 HEIGHT = WIDTH = 512
 CHAIN = 32
 
+S2D = os.environ.get("TPUSEG_BENCH_S2D", "0") == "1"
+PALLAS = os.environ.get("TPUSEG_BENCH_PALLAS", "0") == "1"
 
-def _measure() -> float:
+
+def _flops_per_frame(fwd, variables, x) -> float:
+    """Matmul/conv FLOPs per frame from XLA's compiled cost analysis."""
+    try:
+        cost = fwd.lower(variables, x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost["flops"])
+        if flops > 0:
+            return flops / x.shape[0]
+    except Exception:
+        pass
+    return FLOPS_PER_FRAME_512_FALLBACK
+
+
+def _measure() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
     from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
 
-    model = MobileNetV2UNet(output_channels=10, dtype=jnp.bfloat16)
+    model = MobileNetV2UNet(
+        output_channels=10,
+        dtype=jnp.bfloat16,
+        use_pallas=PALLAS,
+        stem_s2d=S2D,
+    )
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
     )
+
+    @jax.jit
+    def fwd(params, x):
+        return jnp.argmax(model.apply(params, x, train=False), axis=-1)
 
     @jax.jit
     def bench_fn(params, x):
@@ -64,28 +109,70 @@ def _measure() -> float:
             np.random.RandomState(0).rand(BATCH, HEIGHT, WIDTH, 3), jnp.float32
         )
     )
+    flops_frame = _flops_per_frame(fwd, variables, x)
     float(bench_fn(variables, x))  # compile + warm
-    best = 0.0
+    fps_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
         float(bench_fn(variables, x))  # host fetch = true sync
         dt = time.perf_counter() - t0
-        best = max(best, BATCH * CHAIN / dt)
-    return best
-
-
-def _record(fps: float, stale: bool = False) -> dict:
+        fps_runs.append(BATCH * CHAIN / dt)
+    fps = max(fps_runs)
+    tflops = fps * flops_frame / 1e12
     return {
-        "metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
-        "value": round(fps, 1),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / REFERENCE_CPU_FPS_512, 1),
-        **({"stale": True} if stale else {}),
+        "fps": fps,
+        "runs": [round(f, 1) for f in fps_runs],
+        "flops_per_frame": flops_frame,
+        "tflops": tflops,
+        "mfu_pct": 100.0 * tflops / PEAK_BF16_TFLOPS,
     }
+
+
+def _config_tag() -> dict:
+    return {"s2d": S2D, "pallas": PALLAS, "batch": BATCH}
+
+
+def _record(m: dict, stale: bool = False) -> dict:
+    rec = {
+        "metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+        "value": round(m["fps"], 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(m["fps"] / REFERENCE_CPU_FPS_512, 1),
+        "tflops": round(m.get("tflops", 0.0), 2),
+        "mfu_pct": round(m.get("mfu_pct", 0.0), 2),
+    }
+    if m.get("runs"):
+        rec["runs"] = m["runs"]
+    if stale:
+        rec["stale"] = True
+    cfg = _config_tag()
+    if cfg["s2d"] or cfg["pallas"] or cfg["batch"] != 64:
+        rec["config"] = cfg
+    return rec
 
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_history.json")
+
+
+def _history_best() -> float:
+    """Best real (non-stale) fps recorded for the default config."""
+    best = 0.0
+    if os.path.exists(HISTORY):
+        with open(HISTORY) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("stale") or rec.get("config"):
+                    continue
+                if rec.get("metric", "").startswith("mobilenetv2_unet_infer"):
+                    best = max(best, float(rec.get("value", 0.0)))
+    return best
 
 
 def main() -> None:
@@ -97,7 +184,6 @@ def main() -> None:
     real measurement is reported with an explicit "stale": true marker.
     """
     import subprocess
-    import sys
 
     if os.environ.get("TPUSEG_BENCH_CHILD"):
         print(json.dumps(_record(_measure())))
@@ -108,29 +194,48 @@ def main() -> None:
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=420,
+                env=env, capture_output=True, text=True, timeout=480,
             )
             for line in out.stdout.splitlines():
                 line = line.strip()
                 if line.startswith("{"):
                     rec = json.loads(line)
+                    best = _history_best()
+                    if (
+                        not rec.get("config")
+                        and best > 0
+                        and rec["value"] < 0.8 * best
+                    ):
+                        rec["regression_from_best"] = best
+                        print(
+                            f"WARNING: fps {rec['value']} < 0.8x historical "
+                            f"best {best} — perf regression",
+                            file=sys.stderr,
+                        )
                     with open(HISTORY, "a") as f:
-                        f.write(json.dumps({**rec, "t": time.time()}) + "\n")
+                        f.write(json.dumps(
+                            {**rec, "t": time.time(), "attempt": attempt}
+                        ) + "\n")
                     print(json.dumps(rec))
                     return
         except subprocess.TimeoutExpired:
-            pass
+            print(f"bench attempt {attempt} timed out", file=sys.stderr)
     # both attempts failed: report the last real measurement, marked stale
     last = None
     if os.path.exists(HISTORY):
         with open(HISTORY) as f:
             lines = [l for l in f.read().splitlines() if l.strip()]
-        if lines:
-            last = json.loads(lines[-1])
+        for line in reversed(lines):
+            rec = json.loads(line)
+            if not rec.get("stale") and not rec.get("config"):
+                last = rec
+                break
     if last:
-        print(json.dumps(_record(last["value"], stale=True)))
+        print(json.dumps(_record(
+            {"fps": last["value"], "tflops": last.get("tflops", 0.0),
+             "mfu_pct": last.get("mfu_pct", 0.0)}, stale=True)))
     else:
-        print(json.dumps(_record(0.0, stale=True)))
+        print(json.dumps(_record({"fps": 0.0}, stale=True)))
 
 
 if __name__ == "__main__":

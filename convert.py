@@ -60,6 +60,12 @@ def main(argv=None) -> int:
     else:
         export_dtype = cfg.export.dtype
 
+    if cfg.export.format in ("savedmodel", "tflite"):
+        return _export_tf(cfg, model, variables, export_dtype)
+    if cfg.export.format != "stablehlo":
+        print(f"ERROR: unknown export format {cfg.export.format!r}")
+        return 1
+
     data, _ = export_model(
         model,
         variables,
@@ -90,6 +96,48 @@ def main(argv=None) -> int:
     rel = err / max(float(jnp.abs(direct).max()), 1e-9)
     print(f"Round-trip check: max diff {err:.3e} (rel {rel:.3e})")
     if not (rel < 1e-2 if export_dtype != "float32" else rel < 1e-5):
+        print("ERROR: exported model diverges from source model")
+        return 1
+    print("Export is valid!")
+    return 0
+
+
+def _export_tf(cfg, model, variables, export_dtype: str) -> int:
+    """SavedModel / TFLite export with the same round-trip self-check."""
+    import jax.numpy as jnp
+
+    from tpuseg.export import tf_export
+
+    h, w = cfg.data.height, cfg.data.width
+    fmt = cfg.export.format
+    if fmt == "savedmodel":
+        tf_export.export_savedmodel(
+            model, variables, h, w, cfg.export.output, batch=cfg.export.batch
+        )
+        print(f"Exported SavedModel to {cfg.export.output}")
+        run = lambda x: tf_export.run_savedmodel(cfg.export.output, x)
+        check_batch = 2
+    else:
+        batch = cfg.export.batch if cfg.export.batch != -1 else 1
+        data = tf_export.export_tflite(
+            model, variables, h, w, cfg.export.output,
+            batch=batch, dtype=export_dtype,
+        )
+        print(f"Exported {len(data)} bytes of TFLite to {cfg.export.output}")
+        run = lambda x: tf_export.run_tflite(cfg.export.output, x)
+        check_batch = batch
+
+    x = np.random.RandomState(0).rand(check_batch, h, w, 3).astype(np.float32)
+    out = run(x)
+    direct = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        jnp.asarray(x), train=False,
+    )
+    err = float(jnp.abs(jnp.asarray(out) - direct).max())
+    rel = err / max(float(jnp.abs(direct).max()), 1e-9)
+    print(f"Round-trip check: max diff {err:.3e} (rel {rel:.3e})")
+    if not (rel < 1e-2 if export_dtype != "float32" else rel < 1e-3):
         print("ERROR: exported model diverges from source model")
         return 1
     print("Export is valid!")

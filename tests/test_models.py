@@ -87,7 +87,7 @@ def test_registry():
 
 
 def test_stem_space_to_depth_equivalence():
-    """stem_s2d (on by default) is an exact rewrite of the 3x3 s2 stem."""
+    """stem_s2d is an exact apply-time rewrite of the 3x3 s2 stem."""
     from tpuseg.models.mobilenetv2 import MobileNetV2Encoder
 
     x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 128, 3), jnp.float32)
@@ -99,3 +99,19 @@ def test_stem_space_to_depth_equivalence():
     for a, b in zip(taps_a, taps_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_stem_s2d_config_toggle_param_tree_invariant():
+    """--model.stem_s2d toggles the apply-time path only: same param tree,
+    same outputs, reachable through ModelConfig (VERDICT r1 item 7)."""
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3), jnp.float32)
+    m_off = build_model(ModelConfig(name="mobilenetv2_unet", stem_s2d=False))
+    m_on = build_model(ModelConfig(name="mobilenetv2_unet", stem_s2d=True))
+    v_off = m_off.init(jax.random.PRNGKey(0), x, train=False)
+    v_on = m_on.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v_off) == jax.tree.structure(v_on)
+    out_off = m_off.apply(v_off, x, train=False)
+    out_on = m_on.apply(v_off, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_off), np.asarray(out_on), rtol=1e-5, atol=1e-5
+    )

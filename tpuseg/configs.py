@@ -31,6 +31,9 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     # Use fused Pallas kernels for hot blocks (pure-JAX fallback when False).
     use_pallas: bool = False
+    # Space-to-depth stem rewrite (apply-time path; parameter tree unchanged).
+    # Measured slower on TPU v5e (BENCH_r01); kept as an A/B-able toggle.
+    stem_s2d: bool = False
 
 
 @dataclass
@@ -97,6 +100,9 @@ class TrainConfig:
     keep_checkpoints: int = 5
     save_every_epochs: int = 1           # reference saves every epoch (train.py:77)
     resume: bool = False
+    # Initialize params/batch_stats (not optimizer/sampler) from a checkpoint
+    # dir or .pth — the pretrained-encoder start (tools/import_pretrained.py).
+    init_checkpoint: str = ""
     remat: bool = False                  # jax.checkpoint the encoder to save HBM
     profile_dir: str = ""                # non-empty => jax.profiler trace
     tensorboard_dir: str = ""            # non-empty => TB scalar summaries

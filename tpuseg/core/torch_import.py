@@ -136,6 +136,51 @@ def import_unet(sd: Dict[str, np.ndarray], nest: Tuple[str, ...] = ()) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_torchvision_encoder(sd: Dict[str, np.ndarray]) -> dict:
+    """ImageNet-pretrained torchvision ``mobilenet_v2`` state_dict ->
+    encoder-only Flax variables (``{"params": {"backbone": ...}, ...}``).
+
+    This is the reference's pretrained-at-construction behavior
+    (src/unet.py:12: ``mobilenet_v2(weights=DEFAULT).features``): only the
+    ``features.N.*`` keys are consumed; ``classifier.*`` is ignored. Merge
+    the result over a randomly initialized model with
+    ``merge_variables`` to get a train-ready init."""
+    params: dict = {}
+    stats: dict = {}
+    prefix = (
+        "backbone.features"
+        if any(k.startswith("backbone.features.") for k in sd)
+        else "features"
+    )
+    _import_encoder(sd, prefix, ("backbone",), params, stats)
+    return {"params": params, "batch_stats": stats}
+
+
+def merge_variables(base: dict, overlay: dict) -> dict:
+    """Deep-merge ``overlay`` leaves over ``base`` (dicts only), validating
+    that every overlay leaf exists in base with the same shape."""
+
+    def rec(b: dict, o: dict, path: str) -> dict:
+        out = dict(b)
+        for k, v in o.items():
+            p = f"{path}/{k}" if path else k
+            if k not in b:
+                raise KeyError(f"overlay key {p!r} not present in model tree")
+            if isinstance(v, dict):
+                if not isinstance(b[k], dict):
+                    raise KeyError(f"overlay {p!r} is a subtree, model leaf")
+                out[k] = rec(b[k], v, p)
+            else:
+                bs = np.shape(b[k])
+                vs = np.shape(v)
+                if bs != vs:
+                    raise ValueError(f"shape mismatch at {p!r}: {vs} vs {bs}")
+                out[k] = np.asarray(v)
+        return out
+
+    return rec(base, overlay, "")
+
+
 def import_state_dict(sd: Dict[str, np.ndarray], model_name: str) -> dict:
     """Dispatch by tpuseg model-registry name."""
     importers = {

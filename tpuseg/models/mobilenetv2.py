@@ -111,7 +111,10 @@ class MobileNetV2Encoder(nn.Module):
 
     width_mult: float = 1.0
     dtype: Any = jnp.float32
-    stem_s2d: bool = True  # space-to-depth stem (exact-equivalent rewrite)
+    # Space-to-depth stem (exact-equivalent rewrite). Off by default: measured
+    # 4.3x SLOWER on the real chip (312 vs 1357 fps @512x512 — BENCH_r01 vs
+    # bench_history; see docs/DESIGN.md). Toggle via --model.stem_s2d.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:

@@ -30,13 +30,17 @@ class MobileNetV2UNet(nn.Module):
     width_mult: float = 1.0
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused decoder upsample+concat+conv kernels
+    stem_s2d: bool = False    # space-to-depth stem rewrite (apply-time path)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         up = self.use_pallas
         x1, x2, x3, x4, x5 = MobileNetV2Encoder(
-            width_mult=self.width_mult, dtype=dt, name="backbone"
+            width_mult=self.width_mult,
+            dtype=dt,
+            stem_s2d=self.stem_s2d,
+            name="backbone",
         )(x, train)
         y = Up(256, dtype=dt, use_pallas=up, name="up1")(x5, x4, train)
         y = Up(128, dtype=dt, use_pallas=up, name="up2")(y, x3, train)

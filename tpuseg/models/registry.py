@@ -21,6 +21,7 @@ MODEL_REGISTRY: Dict[str, Callable] = {
         width_mult=cfg.width_mult,
         dtype=_dtype(cfg),
         use_pallas=cfg.use_pallas,
+        stem_s2d=cfg.stem_s2d,
     ),
     "unet": lambda cfg: UNet(
         output_channels=cfg.num_classes,

@@ -219,7 +219,7 @@ def fused_upsample_concat_conv(
 
     Falls back to the pure-JAX reference when shapes don't tile cleanly.
     """
-    from jax._src.pallas.core import Element
+    Element = pl.Element  # public API (jax.experimental.pallas)
 
     bsz, h2, w2, cs = skip.shape
     _, h, wdim, cx = x.shape

@@ -7,13 +7,20 @@ The reference model mixes TWO bilinear conventions (the classic PyTorch trap):
 - the final x2 upsample: ``align_corners=True`` (src/unet.py:30).
 
 Getting both exactly right is a parity gate, so instead of relying on any
-library resize we precompute, per axis, the two source taps and fractional
-weight of every output index (in float64 numpy, baked into the jitted graph
-as constants) and interpolate with two ``jnp.take`` gathers + a weighted sum
-per axis. This compiles instantly and runs fast on TPU for arbitrary sizes;
-the earlier interpolation-matrix/einsum formulation is kept (``_apply_hw``)
-for cross-checking but is not the default — its XLA lowering took 85s+ to
-compile for odd downscale sizes (e.g. 180->32) on this backend.
+library resize every path is built from first principles. THREE formulations
+coexist because they have very different TPU cost profiles:
+
+- ``upsample2x_bilinear`` — the decoder / final-head hot path — contracts
+  with the [2n, n] interpolation matrix on the MXU (``_apply_hw``).
+  Measured @512x512 batch 64: matrix 1357 fps vs interleave 783 fps vs
+  gathers 314 fps end-to-end (the round-1 headline regression was this op
+  silently switching to gathers).
+- ``resize_bilinear`` for arbitrary sizes (preprocess) uses 2-tap
+  ``jnp.take`` gathers: compile-safe for odd sizes where the matrix
+  contraction's XLA lowering took 85s+ (e.g. 180->32 on this backend), and
+  off the hot path so gather throughput doesn't matter.
+- ``_upsample2x_axis_half_pixel`` — fixed-phase interleave kept for
+  reference/cross-checking (middle of the pack on TPU).
 
 Conventions implemented:
 - ``align_corners=False`` (half-pixel): src = (i + 0.5) * n/m - 0.5, clamped.
@@ -124,10 +131,54 @@ def resize_bilinear(
     return y.astype(orig_dtype)
 
 
+def _upsample2x_axis_half_pixel(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x half-pixel (align_corners=False) upsample along one axis.
+
+    For scale 2 the source grid is src = i/2 - 0.25, so every output is a
+    fixed-phase 2-tap lerp of its neighbors:
+
+        out[2k]   = 0.25 * x[k-1] + 0.75 * x[k]     (edge-clamped)
+        out[2k+1] = 0.75 * x[k]   + 0.25 * x[k+1]
+
+    Implemented as shifts + weighted adds + an interleaving reshape — pure
+    elementwise VPU work that XLA fuses into one kernel. This is the decoder
+    hot path; the gather formulation (``_interp_axis``) measured 4.3x slower
+    end-to-end on the chip (314 vs 1357 fps @512x512 — the round-1 headline
+    regression, bench_history.json).
+    """
+    from jax import lax
+
+    n = x.shape[axis]
+    first = lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = lax.slice_in_dim(x, n - 1, n, axis=axis)
+    xm1 = jnp.concatenate([first, lax.slice_in_dim(x, 0, n - 1, axis=axis)],
+                          axis=axis)
+    xp1 = jnp.concatenate([lax.slice_in_dim(x, 1, n, axis=axis), last],
+                          axis=axis)
+    even = 0.25 * xm1 + 0.75 * x
+    odd = 0.75 * x + 0.25 * xp1
+    y = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    return y.reshape(shape)
+
+
 def upsample2x_bilinear(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
-    """x2 bilinear upsample (the decoder / final-head hot path)."""
+    """x2 bilinear upsample (the decoder / final-head hot path).
+
+    Contracts with the [2n, n] interpolation matrix — XLA maps the
+    contraction onto the MXU with clean tiled layouts. Measured on the chip
+    @512x512 batch 64 (bench_history.json): matrix 1357 fps, fixed-phase
+    interleave (stack+reshape, ``_upsample2x_axis_half_pixel``) 783 fps, 2-tap
+    gathers (``_interp_axis``) 314 fps. For x2 the matrix lowering compiles
+    fast; the pathological-compile cases are odd downscales, which go through
+    ``resize_bilinear``'s gather path instead."""
     h, w = x.shape[-3], x.shape[-2]
-    return resize_bilinear(x, 2 * h, 2 * w, align_corners)
+    return _apply_hw(
+        x,
+        _bilinear_matrix(h, 2 * h, align_corners),
+        _bilinear_matrix(w, 2 * w, align_corners),
+    )
 
 
 def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

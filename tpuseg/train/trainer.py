@@ -73,6 +73,8 @@ class Trainer:
             eps=cfg.train.eps,
             tx=tx,
         )
+        if cfg.train.init_checkpoint:
+            self._load_init_checkpoint(cfg.train.init_checkpoint)
 
         if combined is None:
             sources = [
@@ -171,6 +173,31 @@ class Trainer:
         if cfg.optimizer == "sgd":
             return optax.sgd(lr, momentum=cfg.momentum)
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    def _load_init_checkpoint(self, path: str) -> None:
+        """Initialize params/batch_stats from a checkpoint (or .pth) WITHOUT
+        touching optimizer state or the sampler — the pretrained-encoder
+        start (reference src/unet.py:12; tools/import_pretrained.py)."""
+        from tpuseg.infer.predictor import load_variables
+
+        variables = load_variables(path, self.cfg.model.name, lambda: None)
+        tgt_params = jax.tree.structure(self.state.params)
+        got_params = jax.tree.structure(variables["params"])
+        if tgt_params != got_params:
+            raise ValueError(
+                f"init_checkpoint {path!r} param tree does not match the "
+                f"model ({self.cfg.model.name})"
+            )
+        cast = lambda t, like: jax.tree.map(
+            lambda v, l: jnp.asarray(v, l.dtype), t, like
+        )
+        self.state = self.state.replace(
+            params=cast(variables["params"], self.state.params),
+            batch_stats=cast(
+                variables["batch_stats"], self.state.batch_stats
+            ),
+        )
+        log.info("initialized params from %s", path)
 
     # -- checkpointing -----------------------------------------------------
 
