@@ -237,16 +237,33 @@ def fused_upsample_concat_conv(
     kernel = functools.partial(
         _upconcat_kernel, tile=tile, h2=h2, w2=w2, cs=cs, cx=cx, cout=cout
     )
+    # Mosaic constraints (real-TPU lowering; interpret mode is laxer):
+    # all-or-none Element dims per BlockSpec, and Element low-padding is
+    # unsupported — so the 1-row halos come from an explicit XLA pad of the
+    # H axis instead (one extra elementwise copy; the 4x-upsample and the
+    # concat still never materialize). Index maps return ELEMENT offsets.
+    skip_p = jnp.pad(skip, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    x_p = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
     out = pl.pallas_call(
         kernel,
         grid=(bsz, h2 // tile),
         in_specs=[
             pl.BlockSpec(
-                (1, Element(tile + 2, (1, 1)), w2, cs),
+                (
+                    Element(1),
+                    Element(tile + 2),
+                    Element(w2),
+                    Element(cs),
+                ),
                 lambda bi, hi: (bi, hi * tile, 0, 0),
             ),
             pl.BlockSpec(
-                (1, Element(tile // 2 + 2, (1, 1)), wdim, cx),
+                (
+                    Element(1),
+                    Element(tile // 2 + 2),
+                    Element(wdim),
+                    Element(cx),
+                ),
                 lambda bi, hi: (bi, hi * (tile // 2), 0, 0),
             ),
             pl.BlockSpec((3, 3, cs, cout), lambda bi, hi: (0, 0, 0, 0)),
@@ -258,5 +275,5 @@ def fused_upsample_concat_conv(
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h2, w2, cout), jnp.float32),
         interpret=interpret,
-    )(skip, x, ws, wx, jnp.asarray(b, jnp.float32))
+    )(skip_p, x_p, ws, wx, jnp.asarray(b, jnp.float32))
     return out
