@@ -56,6 +56,7 @@ CHAIN = 32
 
 S2D = os.environ.get("TPUSEG_BENCH_S2D", "0") == "1"
 PALLAS = os.environ.get("TPUSEG_BENCH_PALLAS", "0") == "1"
+INT8 = os.environ.get("TPUSEG_BENCH_INT8", "0") == "1"
 
 
 def _flops_per_frame(fwd, variables, x) -> float:
@@ -89,6 +90,14 @@ def _measure() -> dict:
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
     )
+    if INT8:  # calibrated full-int8 path (export.int8_full)
+        from tpuseg.export.int8_full import calibrate
+
+        calib = [jnp.asarray(
+            np.random.RandomState(7).rand(4, HEIGHT, WIDTH, 3), jnp.float32
+        )]
+        variables = dict(variables)
+        variables["quant"] = calibrate(model, variables, calib)
 
     @jax.jit
     def fwd(params, x):
@@ -129,7 +138,7 @@ def _measure() -> dict:
 
 
 def _config_tag() -> dict:
-    return {"s2d": S2D, "pallas": PALLAS, "batch": BATCH}
+    return {"s2d": S2D, "pallas": PALLAS, "int8": INT8, "batch": BATCH}
 
 
 def _record(m: dict, stale: bool = False) -> dict:
@@ -146,7 +155,7 @@ def _record(m: dict, stale: bool = False) -> dict:
     if stale:
         rec["stale"] = True
     cfg = _config_tag()
-    if cfg["s2d"] or cfg["pallas"] or cfg["batch"] != 64:
+    if cfg["s2d"] or cfg["pallas"] or cfg["int8"] or cfg["batch"] != 64:
         rec["config"] = cfg
     return rec
 

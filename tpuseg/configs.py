@@ -139,7 +139,10 @@ class ExportConfig:
 
     checkpoint: str = ""
     output: str = "exported/model.stablehlo"
-    format: str = "stablehlo"            # "stablehlo" | "tflite" | "savedmodel"
+    # "stablehlo": jax.export artifact (symbolic batch); "savedmodel": TF
+    # serving dir; "tflite": edge flatbuffer; "quantized": calibrated
+    # full-int8 Orbax checkpoint consumable by inference.py.
+    format: str = "stablehlo"
     dtype: str = "float32"               # "float32" | "float16" | "int8"
     batch: int = -1                      # -1 = symbolic/dynamic batch dim
     calib_batches: int = 8               # int8 PTQ calibration batches

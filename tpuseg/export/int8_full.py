@@ -117,6 +117,28 @@ def quantized_apply_fn(model, variables: Dict[str, Any], quant: Dict):
     return fn
 
 
+def save_quantized(path: str, variables: Dict[str, Any], quant: Dict) -> None:
+    """Persist a calibrated int8 model as a step-0 Orbax checkpoint.
+
+    The artifact carries {"params", "batch_stats", "quant"}; load_variables
+    (tpuseg/infer/predictor.py) surfaces the quant collection and Predictor
+    switches every ConvBNAct to the int8 MXU path automatically."""
+    from tpuseg.core.checkpoint import CheckpointManager
+
+    with CheckpointManager(path, max_to_keep=1) as mgr:
+        mgr.save(
+            0,
+            {
+                "state": {
+                    "params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                    "quant": quant,
+                }
+            },
+            force=True,
+        )
+
+
 def count_quantized_convs(quant: Dict) -> int:
     n = 0
     for key, value in quant.items():

@@ -40,10 +40,13 @@ def load_variables(checkpoint: str, model_name: str, init_fn) -> dict:
         with CheckpointManager(checkpoint) as mgr:
             restored = mgr.restore()
         state = restored["state"] if "state" in restored else restored
-        return {
+        out = {
             "params": state["params"],
             "batch_stats": state.get("batch_stats", {}),
         }
+        if state.get("quant"):  # calibrated int8 artifact (export.int8_full)
+            out["quant"] = state["quant"]
+        return out
     raise FileNotFoundError(f"checkpoint {checkpoint!r} not found")
 
 
@@ -84,6 +87,8 @@ class Predictor:
             }
 
         self.variables = load_variables(checkpoint, model_cfg.name, init_fn)
+        # calibrated int8 artifact: every ConvBNAct runs int8 x int8 on the MXU
+        self.int8 = "quant" in self.variables
         self._jitted = {}
 
     def _fn_for(self, frame_hw: Tuple[int, int]):
@@ -92,6 +97,7 @@ class Predictor:
         mh, mw = self.input_hw
         fh, fw = frame_hw
         colorize = self.colorize_on_device
+        int8 = self.int8
 
         @jax.jit
         def run(variables, frames):
@@ -99,14 +105,13 @@ class Predictor:
             # cv2.resize INTER_LINEAR == half-pixel bilinear (inference.py:30)
             x = resize_bilinear(x, mh, mw, align_corners=False)
             x = normalize_images(x)
-            logits = self.model.apply(
-                {
-                    "params": variables["params"],
-                    "batch_stats": variables["batch_stats"],
-                },
-                x,
-                train=False,
-            )
+            bound = {
+                "params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+            }
+            if int8:
+                bound["quant"] = variables["quant"]
+            logits = self.model.apply(bound, x, train=False)
             if colorize:
                 from tpuseg.data.class_maps import COLOR_MAP_BGR
                 from tpuseg.ops.pallas_kernels import argmax_colorize
