@@ -5,7 +5,8 @@ Prints ONE JSON line:
      "tflops": N, "mfu_pct": N}
 
 Metric: MobileNetV2UNet (the reference's production model) forward + argmax
-at 512x512, bf16 compute, batch 64 — the BASELINE.md north-star config.
+at 512x512, bf16 compute, batch 128 — the BASELINE.md north-star config
+(batch swept on-chip: 64/128/256 -> 1357.7/1765.9/1742.9 fps).
 
 Measurement method: the forward is chained N times inside one jitted
 ``lax.scan`` with a data dependency between iterations, and the final scalar
@@ -50,13 +51,18 @@ PEAK_BF16_TFLOPS = 197.0
 # when cost_analysis is available on the backend, this is the fallback).
 FLOPS_PER_FRAME_512_FALLBACK = 24.0e9
 
-BATCH = int(os.environ.get("TPUSEG_BENCH_BATCH", "64"))
+# Batch sweep on-chip (bench_history.json): 64 -> 1357.7 fps, 128 -> 1765.9,
+# 256 -> 1742.9. 128 is the throughput knee; it is the headline config.
+DEFAULT_BATCH = 128
+BATCH = int(os.environ.get("TPUSEG_BENCH_BATCH", str(DEFAULT_BATCH)))
 HEIGHT = WIDTH = 512
 CHAIN = 32
 
 S2D = os.environ.get("TPUSEG_BENCH_S2D", "0") == "1"
 PALLAS = os.environ.get("TPUSEG_BENCH_PALLAS", "0") == "1"
 INT8 = os.environ.get("TPUSEG_BENCH_INT8", "0") == "1"
+FOLDBN = os.environ.get("TPUSEG_BENCH_FOLDBN", "0") == "1"
+SUBPIX = os.environ.get("TPUSEG_BENCH_SUBPIX", "1") == "1"  # default ON
 
 
 def _flops_per_frame(fwd, variables, x) -> float:
@@ -86,10 +92,15 @@ def _measure() -> dict:
         dtype=jnp.bfloat16,
         use_pallas=PALLAS,
         stem_s2d=S2D,
+        up_subpixel=SUBPIX,
     )
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
     )
+    if FOLDBN:  # exact BN fold (deployment inference config)
+        from tpuseg.export.quantize import fold_batchnorm
+
+        variables = fold_batchnorm(variables)
     if INT8:  # calibrated full-int8 path (export.int8_full)
         from tpuseg.export.int8_full import calibrate
 
@@ -138,7 +149,8 @@ def _measure() -> dict:
 
 
 def _config_tag() -> dict:
-    return {"s2d": S2D, "pallas": PALLAS, "int8": INT8, "batch": BATCH}
+    return {"s2d": S2D, "pallas": PALLAS, "int8": INT8, "foldbn": FOLDBN,
+            "subpix": SUBPIX, "batch": BATCH}
 
 
 def _record(m: dict, stale: bool = False) -> dict:
@@ -155,7 +167,9 @@ def _record(m: dict, stale: bool = False) -> dict:
     if stale:
         rec["stale"] = True
     cfg = _config_tag()
-    if cfg["s2d"] or cfg["pallas"] or cfg["int8"] or cfg["batch"] != 64:
+    if any(
+        cfg[k] for k in ("s2d", "pallas", "int8", "foldbn")
+    ) or not cfg["subpix"] or cfg["batch"] != DEFAULT_BATCH:
         rec["config"] = cfg
     return rec
 

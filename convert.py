@@ -111,6 +111,8 @@ def _export_quantized(cfg, model, variables) -> int:
     The artifact is directly consumable by inference.py
     (``--infer.checkpoint=<dir>``): Predictor detects the quant collection
     and runs every conv as int8 x int8 -> int32 on the MXU."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -120,6 +122,14 @@ def _export_quantized(cfg, model, variables) -> int:
         calibrate,
         count_quantized_convs,
         save_quantized,
+    )
+    from tpuseg.models.registry import build_model
+
+    # calibrate with apply-time rewrites off so EVERY conv sows its input
+    # (the subpixel path bypasses the materialized conv1 input); the
+    # resulting artifact works under any consumer config.
+    model = build_model(
+        dataclasses.replace(cfg.model, up_subpixel=False, use_pallas=False)
     )
 
     h, w = cfg.data.height, cfg.data.width

@@ -101,6 +101,30 @@ def test_stem_space_to_depth_equivalence():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_up_subpixel_toggle_param_tree_invariant_and_exact():
+    """--model.up_subpixel is an exact apply-time rewrite: same param tree,
+    same outputs (fp32), reachable through ModelConfig."""
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 64, 64, 3), jnp.float32)
+    m_off = build_model(
+        ModelConfig(name="mobilenetv2_unet", up_subpixel=False)
+    )
+    m_on = build_model(ModelConfig(name="mobilenetv2_unet", up_subpixel=True))
+    v = m_off.init(jax.random.PRNGKey(0), x, train=False)
+    v_on = m_on.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(v_on)
+    out_off = m_off.apply(v, x, train=False)
+    out_on = m_on.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_off), np.asarray(out_on), rtol=1e-4, atol=1e-4
+    )
+    # train mode is also exact (subpixel path allowed under grad/BN-update)
+    out_tr_off, st1 = m_off.apply(v, x, train=True, mutable=["batch_stats"])
+    out_tr_on, st2 = m_on.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out_tr_off), np.asarray(out_tr_on), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_stem_s2d_config_toggle_param_tree_invariant():
     """--model.stem_s2d toggles the apply-time path only: same param tree,
     same outputs, reachable through ModelConfig (VERDICT r1 item 7)."""

@@ -55,7 +55,8 @@ def main(argv=None) -> int:
     from tpuseg.models.registry import build_model
     from tpuseg.train.metrics import confusion_matrix, mean_iou
 
-    model = build_model(ModelConfig(name=args.model))
+    # apply-time rewrites off so calibration sees every conv input
+    model = build_model(ModelConfig(name=args.model, up_subpixel=False))
 
     def init_fn():
         v = model.init(jax.random.PRNGKey(0),

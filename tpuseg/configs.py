@@ -34,6 +34,9 @@ class ModelConfig:
     # Space-to-depth stem rewrite (apply-time path; parameter tree unchanged).
     # Measured slower on TPU v5e (BENCH_r01); kept as an A/B-able toggle.
     stem_s2d: bool = False
+    # Exact subpixel/d2s rewrite of decoder conv1s (tpuseg.ops.subpixel).
+    # Default ON: +30% fps on TPU (2289 vs 1767 @512x512 batch 128).
+    up_subpixel: bool = True
 
 
 @dataclass

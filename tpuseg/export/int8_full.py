@@ -2,10 +2,18 @@
 
 Goes beyond weight-only PTQ (tpuseg.export.quantize): after a calibration
 pass records per-conv input ranges, every ConvBNAct in the network executes
-as an int8 x int8 -> int32 convolution (2x MXU peak vs bf16 on v5e), with
-per-tensor activation scales and per-output-channel kernel scales. The
-reference's deployment story stops at a qualitative "FP16/TensorRT" claim
-(README.md:113-117); this is the measurable TPU equivalent.
+as an int8 x int8 -> int32 convolution, with per-tensor activation scales
+and per-output-channel kernel scales. The reference's deployment story stops
+at a qualitative "FP16/TensorRT" claim (README.md:113-117); this is the
+measurable TPU equivalent.
+
+Speed, measured honestly (bench.py TPUSEG_BENCH_INT8=1, 512x512 batch 64,
+v5e): **789.8 fps int8 vs 1357.7 fps bf16** — int8 LOSES 1.7x end-to-end
+here despite the MXU's 2x int8 peak, because each conv pays fp32->int8
+round/clip/cast on its input and int32->fp32 rescale on its output, and this
+model is bandwidth/lane-bound, not MXU-peak-bound. The path exists for
+deployment compatibility and accuracy experiments (tools/eval_quantized.py:
+int8 within 0.2 mIoU pts), not for speed on this hardware.
 
 Mechanics: ConvBNAct sows its conv input into the "intermediates" collection
 (calibration taps) and switches to the quantized path whenever a "quant"

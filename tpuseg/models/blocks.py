@@ -54,6 +54,10 @@ class ConvBNAct(nn.Module):
     act: Optional[Callable] = nn.relu
     dtype: Any = jnp.float32
     stem_s2d: bool = False  # space-to-depth input transform (3ch stems)
+    # how to realize conv(cat([skip, up2x(x)])) when upconcat_pair is given:
+    # "pallas" = fused Pallas kernel (eval only), "subpixel" = exact
+    # composite-kernel d2s rewrite (tpuseg.ops.subpixel; train + eval).
+    upconcat_impl: str = "pallas"
 
     def _s2d_conv(self, x):
         """3x3 stride-2 stem as a 2x2 stride-1 conv over the space-to-depth
@@ -133,59 +137,64 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, upconcat_pair=None):
+        conv_done = False
         if upconcat_pair is not None:
             skip, up_in = upconcat_pair
-            if (
+            eligible = (
                 not self.is_initializing()
-                and not train
                 and self.has_variable("params", "conv")
                 and self.kernel == (3, 3)
                 and self.strides == (1, 1)
                 and self.groups == 1
-            ):
-                x = self._fused_upconcat(skip, up_in)
-                x = nn.BatchNorm(
-                    use_running_average=True,
-                    momentum=BN_MOMENTUM,
-                    epsilon=BN_EPS,
-                    dtype=jnp.float32,
-                    param_dtype=jnp.float32,
-                    name="bn",
-                )(x.astype(jnp.float32)).astype(self.dtype)
-                if self.act is not None:
-                    x = self.act(x)
-                return x
-            # init / train / unsupported config: materialize normally
-            from tpuseg.ops.resize import upsample2x_bilinear
-
-            x = jnp.concatenate(
-                [skip, upsample2x_bilinear(up_in, align_corners=False)],
-                axis=-1,
+                and not self.has_variable("quant", "kernel_q")
             )
-        # calibration taps (no-op unless "intermediates" is mutable)
-        self.sow("intermediates", "conv_in", jnp.asarray(x, jnp.float32))
-        if not train and self.has_variable("quant", "kernel_q"):
-            x = self._quantized_conv(x)
-        elif (
-            self.stem_s2d
-            and not self.is_initializing()
-            and self.has_variable("params", "conv")
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
-        ):
-            x = self._s2d_conv(x)
-        else:
-            x = nn.Conv(
-                self.features,
-                self.kernel,
-                strides=self.strides,
-                padding=self.padding,
-                feature_group_count=self.groups,
-                use_bias=self.use_bias,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name="conv",
-            )(x)
+            if eligible and self.upconcat_impl == "subpixel":
+                # exact composite-kernel rewrite; valid in train AND eval
+                from tpuseg.ops.subpixel import up_concat_conv_subpixel
+
+                p = self.scope.get_variable("params", "conv")
+                x = up_concat_conv_subpixel(
+                    skip, up_in, p["kernel"], p.get("bias")
+                ).astype(self.dtype)
+                conv_done = True
+            elif eligible and self.upconcat_impl == "pallas" and not train:
+                x = self._fused_upconcat(skip, up_in)
+                conv_done = True
+            else:
+                # init / train(pallas) / quant / unsupported: materialize
+                from tpuseg.ops.resize import upsample2x_bilinear
+
+                x = jnp.concatenate(
+                    [skip, upsample2x_bilinear(up_in, align_corners=False)],
+                    axis=-1,
+                )
+        if not conv_done:
+            # calibration taps (no-op unless "intermediates" is mutable).
+            # NOTE: int8 calibration must run with upconcat paths disabled so
+            # every conv input is sown (the default model config does this).
+            self.sow("intermediates", "conv_in", jnp.asarray(x, jnp.float32))
+            if not train and self.has_variable("quant", "kernel_q"):
+                x = self._quantized_conv(x)
+            elif (
+                self.stem_s2d
+                and not self.is_initializing()
+                and self.has_variable("params", "conv")
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            ):
+                x = self._s2d_conv(x)
+            else:
+                x = nn.Conv(
+                    self.features,
+                    self.kernel,
+                    strides=self.strides,
+                    padding=self.padding,
+                    feature_group_count=self.groups,
+                    use_bias=self.use_bias,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name="conv",
+                )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -208,12 +217,16 @@ class DoubleConv(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    upconcat_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x, train: bool = False, upconcat_pair=None):
-        x = ConvBNAct(self.features, dtype=self.dtype, name="conv1")(
-            x, train, upconcat_pair=upconcat_pair
-        )
+        x = ConvBNAct(
+            self.features,
+            dtype=self.dtype,
+            upconcat_impl=self.upconcat_impl,
+            name="conv1",
+        )(x, train, upconcat_pair=upconcat_pair)
         x = ConvBNAct(self.features, dtype=self.dtype, name="conv2")(x, train)
         return x
 
@@ -242,13 +255,18 @@ class Up(nn.Module):
     features: int
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    subpixel: bool = False  # exact composite-kernel d2s rewrite of conv1
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        if self.use_pallas:
-            return DoubleConv(self.features, dtype=self.dtype, name="conv")(
-                None, train, upconcat_pair=(skip, x)
-            )
+        if self.subpixel or self.use_pallas:
+            impl = "subpixel" if self.subpixel else "pallas"
+            return DoubleConv(
+                self.features,
+                dtype=self.dtype,
+                upconcat_impl=impl,
+                name="conv",
+            )(None, train, upconcat_pair=(skip, x))
         x = upsample2x_bilinear(x, align_corners=False)
         x = jnp.concatenate([skip, x], axis=-1)
         return DoubleConv(self.features, dtype=self.dtype, name="conv")(x, train)

@@ -31,21 +31,32 @@ class MobileNetV2UNet(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused decoder upsample+concat+conv kernels
     stem_s2d: bool = False    # space-to-depth stem rewrite (apply-time path)
+    # Exact subpixel/d2s rewrite of each up-block's first conv
+    # (tpuseg.ops.subpixel): same FLOPs at (H/2, W/2) with 4x output
+    # channels — fills the MXU's 128 lanes where Cout is thin (up3/up4).
+    # Default ON: measured 2289 vs 1767 fps @512x512 batch 128 (+30%,
+    # bench_history.json); exact to fp32 tolerance, param tree unchanged.
+    up_subpixel: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         up = self.use_pallas
+        sp = self.up_subpixel
         x1, x2, x3, x4, x5 = MobileNetV2Encoder(
             width_mult=self.width_mult,
             dtype=dt,
             stem_s2d=self.stem_s2d,
             name="backbone",
         )(x, train)
-        y = Up(256, dtype=dt, use_pallas=up, name="up1")(x5, x4, train)
-        y = Up(128, dtype=dt, use_pallas=up, name="up2")(y, x3, train)
-        y = Up(64, dtype=dt, use_pallas=up, name="up3")(y, x2, train)
-        y = Up(32, dtype=dt, use_pallas=up, name="up4")(y, x1, train)
+        y = Up(256, dtype=dt, use_pallas=up, subpixel=sp, name="up1")(
+            x5, x4, train)
+        y = Up(128, dtype=dt, use_pallas=up, subpixel=sp, name="up2")(
+            y, x3, train)
+        y = Up(64, dtype=dt, use_pallas=up, subpixel=sp, name="up3")(
+            y, x2, train)
+        y = Up(32, dtype=dt, use_pallas=up, subpixel=sp, name="up4")(
+            y, x1, train)
         y = OutConv(self.output_channels, dtype=dt, name="outc")(y, train)
         # final x2, align_corners=True (src/unet.py:30)
         return upsample2x_bilinear(y.astype(jnp.float32), align_corners=True)

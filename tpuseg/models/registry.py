@@ -22,6 +22,7 @@ MODEL_REGISTRY: Dict[str, Callable] = {
         dtype=_dtype(cfg),
         use_pallas=cfg.use_pallas,
         stem_s2d=cfg.stem_s2d,
+        up_subpixel=cfg.up_subpixel,
     ),
     "unet": lambda cfg: UNet(
         output_channels=cfg.num_classes,
