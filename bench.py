@@ -63,6 +63,9 @@ PALLAS = os.environ.get("TPUSEG_BENCH_PALLAS", "0") == "1"
 INT8 = os.environ.get("TPUSEG_BENCH_INT8", "0") == "1"
 FOLDBN = os.environ.get("TPUSEG_BENCH_FOLDBN", "0") == "1"
 SUBPIX = os.environ.get("TPUSEG_BENCH_SUBPIX", "1") == "1"  # default ON
+# Fused final-upsample+argmax Pallas kernel (upsample2x_argmax): the
+# full-resolution logits never reach HBM. Same exact classes.
+FUSED_HEAD = os.environ.get("TPUSEG_BENCH_FUSED_HEAD", "0") == "1"
 
 
 def _flops_per_frame(fwd, variables, x) -> float:
@@ -93,7 +96,16 @@ def _measure() -> dict:
         use_pallas=PALLAS,
         stem_s2d=S2D,
         up_subpixel=SUBPIX,
+        upsample_head=not FUSED_HEAD,
     )
+    if FUSED_HEAD:
+        from tpuseg.ops.pallas_kernels import upsample2x_argmax
+
+        def classes_of(params, x):
+            return upsample2x_argmax(model.apply(params, x, train=False))
+    else:
+        def classes_of(params, x):
+            return jnp.argmax(model.apply(params, x, train=False), axis=-1)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
     )
@@ -112,14 +124,14 @@ def _measure() -> dict:
 
     @jax.jit
     def fwd(params, x):
-        return jnp.argmax(model.apply(params, x, train=False), axis=-1)
+        return classes_of(params, x)
 
     @jax.jit
     def bench_fn(params, x):
         def body(carry, _):
             inp = x + carry * 1e-9  # data dependency defeats overlap
-            out = jnp.argmax(model.apply(params, inp, train=False), axis=-1)
-            return jnp.sum(out).astype(jnp.float32), ()
+            out = classes_of(params, inp)
+            return jnp.sum(out.astype(jnp.float32)), ()
 
         s, _ = lax.scan(body, jnp.float32(0), None, length=CHAIN)
         return s
@@ -150,7 +162,7 @@ def _measure() -> dict:
 
 def _config_tag() -> dict:
     return {"s2d": S2D, "pallas": PALLAS, "int8": INT8, "foldbn": FOLDBN,
-            "subpix": SUBPIX, "batch": BATCH}
+            "subpix": SUBPIX, "fused_head": FUSED_HEAD, "batch": BATCH}
 
 
 def _record(m: dict, stale: bool = False) -> dict:
@@ -168,7 +180,7 @@ def _record(m: dict, stale: bool = False) -> dict:
         rec["stale"] = True
     cfg = _config_tag()
     if any(
-        cfg[k] for k in ("s2d", "pallas", "int8", "foldbn")
+        cfg[k] for k in ("s2d", "pallas", "int8", "foldbn", "fused_head")
     ) or not cfg["subpix"] or cfg["batch"] != DEFAULT_BATCH:
         rec["config"] = cfg
     return rec

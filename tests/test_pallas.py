@@ -104,3 +104,46 @@ def test_pallas_decoder_model_matches_plain():
     out = fused.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_upsample2x_argmax_matches_reference():
+    """Kernel 3: fused final-upsample (ac=True) + argmax == reference."""
+    from tpuseg.ops.pallas_kernels import (
+        upsample2x_argmax,
+        upsample2x_argmax_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    for shape in [(2, 8, 64, 10), (1, 4, 64, 10), (2, 16, 128, 10)]:
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        ref = upsample2x_argmax_reference(x)
+        got = upsample2x_argmax(x, interpret=True)
+        assert got.dtype == jnp.uint8
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # non-tiling shapes take the pure-JAX fallback
+    x = jnp.asarray(rng.randn(1, 5, 30, 10), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(upsample2x_argmax(x, interpret=True)),
+        np.asarray(upsample2x_argmax_reference(x)),
+    )
+
+
+def test_model_pre_upsample_head_plus_fused_equals_full():
+    """upsample_head=False + upsample2x_argmax == argmax(full model)."""
+    import jax
+
+    from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
+    from tpuseg.ops.pallas_kernels import upsample2x_argmax
+
+    full = MobileNetV2UNet(output_channels=10)
+    pre = MobileNetV2UNet(output_channels=10, upsample_head=False)
+    v = full.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)),
+                  train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(
+        pre.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)),
+                 train=False)
+    )
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 64, 3), jnp.float32)
+    want = jnp.argmax(full.apply(v, x, train=False), axis=-1)
+    got = upsample2x_argmax(pre.apply(v, x, train=False), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -70,6 +70,24 @@ def test_up_concat_conv_subpixel_exact():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_subpixel_bf16_train_grad():
+    """bf16 training through the subpixel path: grads compute and are
+    finite (regression: conv preferred_element_type upcast has a
+    mixed-dtype transpose that failed under value_and_grad)."""
+    from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
+    from tpuseg.train.train_step import create_train_state, make_train_step
+
+    m = MobileNetV2UNet(output_channels=10, dtype=jnp.bfloat16,
+                        up_subpixel=True)
+    st = create_train_state(m, jax.random.PRNGKey(0), (1, 32, 64, 3))
+    step = make_train_step(donate=False)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 64, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 10, (2, 32, 64)), jnp.int32)
+    st2, metrics = step(st, x, y)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_subpixel_bf16_close_to_fp32():
     """bf16 fast path stays within bf16 tolerance of the fp32 result."""
     rng = np.random.RandomState(2)

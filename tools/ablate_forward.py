@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--chain", type=int, default=16)
+    p.add_argument("--subpixel", type=int, default=1,
+                   help="decoder subpixel rewrite (model default: on)")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
     if args.platform:
@@ -59,6 +61,7 @@ def main(argv=None) -> int:
         after ``stage`` so each prefix binds the full model's variables."""
 
         stage: str
+        subpixel: bool = True
 
         @nn.compact
         def __call__(self, x):
@@ -68,10 +71,15 @@ def main(argv=None) -> int:
             if self.stage == "encoder":
                 return sum(jnp.sum(t.astype(jnp.float32)) for t in taps)
             x1, x2, x3, x4, x5 = taps
-            y = Up(256, dtype=jnp.bfloat16, name="up1")(x5, x4, False)
-            y = Up(128, dtype=jnp.bfloat16, name="up2")(y, x3, False)
-            y = Up(64, dtype=jnp.bfloat16, name="up3")(y, x2, False)
-            y = Up(32, dtype=jnp.bfloat16, name="up4")(y, x1, False)
+            sp = self.subpixel
+            y = Up(256, dtype=jnp.bfloat16, subpixel=sp, name="up1")(
+                x5, x4, False)
+            y = Up(128, dtype=jnp.bfloat16, subpixel=sp, name="up2")(
+                y, x3, False)
+            y = Up(64, dtype=jnp.bfloat16, subpixel=sp, name="up3")(
+                y, x2, False)
+            y = Up(32, dtype=jnp.bfloat16, subpixel=sp, name="up4")(
+                y, x1, False)
             y = OutConv(10, dtype=jnp.bfloat16, name="outc")(y, False)
             if self.stage == "decoder":
                 return jnp.sum(y.astype(jnp.float32))
@@ -81,7 +89,7 @@ def main(argv=None) -> int:
             return jnp.sum(jnp.argmax(y, axis=-1)).astype(jnp.float32)
 
     def stage_fn(stage):
-        part = Partial(stage=stage)
+        part = Partial(stage=stage, subpixel=bool(args.subpixel))
 
         def fwd(v, x):
             return part.apply(v, x)

@@ -37,6 +37,11 @@ class MobileNetV2UNet(nn.Module):
     # Default ON: measured 2289 vs 1767 fps @512x512 batch 128 (+30%,
     # bench_history.json); exact to fp32 tolerance, param tree unchanged.
     up_subpixel: bool = True
+    # When False, return logits BEFORE the final x2 align_corners=True
+    # upsample (at input/2 resolution) so inference can fuse that upsample
+    # with the argmax (tpuseg.ops.pallas_kernels.upsample2x_argmax) and the
+    # full-resolution logits never reach HBM. Training keeps the default.
+    upsample_head: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -58,5 +63,7 @@ class MobileNetV2UNet(nn.Module):
         y = Up(32, dtype=dt, use_pallas=up, subpixel=sp, name="up4")(
             y, x1, train)
         y = OutConv(self.output_channels, dtype=dt, name="outc")(y, train)
+        if not self.upsample_head:
+            return y.astype(jnp.float32)
         # final x2, align_corners=True (src/unet.py:30)
         return upsample2x_bilinear(y.astype(jnp.float32), align_corners=True)

@@ -104,6 +104,89 @@ def argmax_colorize(
     return classes.reshape(b, h, w), colors.reshape(b, h, w)
 
 
+# ---------------------------------------------------------------------------
+# Kernel 3 — fused final-upsample (align_corners=True) W-contraction + argmax.
+#
+# The head's last two ops are the x2 bilinear upsample (align_corners=True,
+# src/unet.py:30) and the class argmax. Executed separately, the upsampled
+# logits [B, 2H, 2W, C] hit HBM in fp32 twice (write + argmax read) — 2.6 GB
+# at the 512x512/batch-128 headline config, ~14% of total runtime (ablation,
+# docs/DESIGN.md §11). Here the H-axis contraction stays in XLA (a clean MXU
+# einsum producing the HALF-size [B, 2H, W, C] tensor), and a Pallas kernel
+# performs the W-axis contraction as per-class [rows, W] x [W, 2W] matmuls
+# on the MXU with the running argmax kept in registers — the full-resolution
+# logits never exist anywhere.
+
+
+def upsample2x_argmax_reference(logits: jnp.ndarray) -> jnp.ndarray:
+    """Pure-JAX reference: argmax(upsample2x_ac_true(logits)) as uint8."""
+    from tpuseg.ops.resize import upsample2x_bilinear
+
+    up = upsample2x_bilinear(logits.astype(jnp.float32), align_corners=True)
+    return jnp.argmax(up, axis=-1).astype(jnp.uint8)
+
+
+def _up_w_argmax_kernel(xh_ref, awt_ref, classes_ref, *, num_classes):
+    """Grid cell: xh [TILE_R, W, C], AwT [W, W2] -> classes [TILE_R, W2]."""
+    awt = awt_ref[...]
+    x0 = xh_ref[:, :, 0]
+    best = jnp.dot(x0, awt, preferred_element_type=jnp.float32)
+    best_idx = jnp.zeros(best.shape, jnp.int32)
+    for c in range(1, num_classes):
+        y = jnp.dot(xh_ref[:, :, c], awt, preferred_element_type=jnp.float32)
+        take = y > best
+        best = jnp.where(take, y, best)
+        best_idx = jnp.where(take, c, best_idx)
+    classes_ref[...] = best_idx.astype(jnp.uint8)
+
+
+def upsample2x_argmax(
+    logits: jnp.ndarray,
+    tile_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """argmax over C of the exact x2 align_corners=True bilinear upsample.
+
+    logits [B, H, W, C] float -> classes uint8 [B, 2H, 2W]. Falls back to
+    the pure-JAX reference when shapes don't tile (W2 % 128, C > 32).
+    tile_rows is the matmul M dimension per grid cell — keep it >= 128 or
+    the MXU runs mostly empty (tile 8 measured 1501 fps end-to-end vs 2294
+    for the unfused head)."""
+    from tpuseg.ops.resize import _bilinear_matrix
+
+    b, h, w, c = logits.shape
+    h2, w2 = 2 * h, 2 * w
+    rows = b * h2
+    while tile_rows > 8 and rows % tile_rows != 0:
+        tile_rows //= 2
+    if w2 % 128 != 0 or c > 32 or rows % tile_rows != 0:
+        return upsample2x_argmax_reference(logits)
+
+    xf = logits.astype(jnp.float32)
+    # H contraction in XLA (MXU einsum on the half-size tensor)
+    ah = jnp.asarray(_bilinear_matrix(h, h2, True))
+    xh = jnp.einsum("ih,bhwc->biwc", ah, xf)          # [B, 2H, W, C]
+    xh = xh.reshape(b * h2, w, c)
+    awt = jnp.asarray(_bilinear_matrix(w, w2, True)).T  # [W, W2]
+
+    kernel = functools.partial(_up_w_argmax_kernel, num_classes=c)
+    classes = pl.pallas_call(
+        kernel,
+        grid=(b * h2 // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, w, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, w2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h2, w2), jnp.uint8),
+        interpret=interpret,
+    )(xh, awt)
+    return classes.reshape(b, h2, w2)
+
+
 def unpack_colors(packed: np.ndarray) -> np.ndarray:
     """Host-side: uint32 0x00RRGGBB [H, W] -> uint8 RGB [H, W, 3]."""
     p = np.asarray(packed)

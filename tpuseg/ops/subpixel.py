@@ -77,14 +77,16 @@ def depth_to_space2(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv(x, k, padding):
+    # NOTE: no preferred_element_type upcast here — its transpose rule feeds
+    # an fp32 cotangent into a bf16 conv and fails under grad (hit by the
+    # bf16 training path); the MXU accumulates fp32 internally regardless.
     return lax.conv_general_dilated(
         x,
         k.astype(x.dtype),
         (1, 1),
         padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
 
 
 def conv3x3_up2x(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
