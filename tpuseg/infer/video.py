@@ -110,12 +110,23 @@ class VideoPipeline:
             daemon=True,
             name="tpuseg-video-reader",
         )
-        t0 = time.perf_counter()
         reader.start()
 
         stats = {"frames": 0, "cars": 0}
         pending = None  # (frames_bgr, device_classes, n_valid)
         stop = False
+
+        # Warm-up: compile the jitted program on the first batch BEFORE the
+        # clock starts (first XLA compile is tens of seconds on this
+        # backend and would dominate short clips); the batch is then
+        # processed normally below.
+        first = q_in.get()
+        if first is not _STOP:
+            pad = first + [first[-1]] * (batch - len(first))
+            rgb0 = np.ascontiguousarray(np.stack(pad)[..., ::-1])
+            warm = self.predictor.predict_async(rgb0)
+            np.asarray(warm[0] if isinstance(warm, tuple) else warm)
+        t0 = time.perf_counter()
 
         colorized = self.predictor.colorize_on_device
         if colorized:
@@ -145,8 +156,8 @@ class VideoPipeline:
                         return True
             return False
 
+        item = first
         while True:
-            item = q_in.get()
             if item is _STOP:
                 break
             frames_bgr = item
@@ -160,6 +171,7 @@ class VideoPipeline:
             pending = (frames_bgr, dev_out, n_valid)
             if stop:
                 break
+            item = q_in.get()
         if pending is not None and not stop:
             flush(pending)
 

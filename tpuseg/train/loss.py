@@ -23,5 +23,11 @@ def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray
     """
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)
-    return jnp.mean(nll)
+    # one-hot contraction, NOT take_along_axis: gathers (and their scatter
+    # transpose in backward) are the slow path on this backend — the same
+    # op class behind the round-1 inference regression. XLA fuses the
+    # compare+select+reduce into one pass over logp.
+    onehot = jax.nn.one_hot(
+        targets.astype(jnp.int32), logits.shape[-1], dtype=jnp.float32
+    )
+    return -jnp.mean(jnp.sum(logp * onehot, axis=-1))

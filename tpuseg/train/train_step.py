@@ -125,9 +125,12 @@ def make_eval_step(num_classes: int, mesh: Optional[Mesh] = None) -> Callable:
         b = images.shape[0]
         valid = (jnp.arange(b) < n_valid).astype(jnp.float32)  # [B]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(
-            logp, labels[..., None].astype(jnp.int32), axis=-1
-        )[..., 0]
+        # one-hot contraction instead of take_along_axis (gathers are the
+        # slow path on this backend; see tpuseg/train/loss.py)
+        onehot = jax.nn.one_hot(
+            labels.astype(jnp.int32), logits.shape[-1], dtype=jnp.float32
+        )
+        nll = -jnp.sum(logp * onehot, axis=-1)
         per_sample = jnp.mean(nll, axis=(1, 2))  # [B]
         preds = jnp.argmax(logits, axis=-1)
         # padded samples -> class index C for both pred and target, then
