@@ -241,3 +241,91 @@ def test_optimizer_options(tmp_path, opt):
     )
     hist = Trainer(cfg).train()
     assert np.isfinite(hist[0]["train_loss"])
+
+
+def test_confusion_matrix_matches_numpy():
+    """MXU one-hot-contraction confusion matrix == numpy histogram, incl.
+    the chunked >2**24-pixel path (threshold shrunk via monkeypatching)."""
+    from tpuseg.train import metrics as M
+
+    rng = np.random.RandomState(3)
+    t = rng.randint(0, 5, (2, 37, 41))
+    p = rng.randint(0, 5, (2, 37, 41))
+    want = np.zeros((5, 5), np.int64)
+    for ti, pi in zip(t.reshape(-1), p.reshape(-1)):
+        want[ti, pi] += 1
+    got = np.asarray(M.confusion_matrix(jnp.asarray(p), jnp.asarray(t), 5))
+    np.testing.assert_array_equal(got, want)
+    # chunked path: shrink the exactness threshold so n > max_exact
+    orig = M._MAX_EXACT_FP32
+    try:
+        M._MAX_EXACT_FP32 = 1000
+        got2 = np.asarray(
+            M.confusion_matrix(jnp.asarray(p), jnp.asarray(t), 5)
+        )
+    finally:
+        M._MAX_EXACT_FP32 = orig
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_multi_step_equals_single_steps():
+    """K scan-chained steps per dispatch == K individual dispatches
+    (same params and losses; only dispatch frequency changes). SGD keeps the
+    comparison strict: Adam's m/sqrt(v) amplifies the fusion-order float
+    noise between the scanned and unscanned compilations to ~one-update
+    scale in its first steps."""
+    import optax
+
+    from tpuseg.models.unet import UNet
+    from tpuseg.train.train_step import make_train_multi_step
+
+    def sgd_state():
+        model = UNet(output_channels=4, base_filters=4)
+        return create_train_state(
+            model, jax.random.PRNGKey(0), (1, 16, 32, 3),
+            tx=optax.sgd(1e-2),
+        )
+
+    x, y = _toy_batch(n=4, seed=1)
+    x2, y2 = _toy_batch(n=4, seed=2)
+    xs = jnp.stack([x, x2])
+    ys = jnp.stack([y, y2])
+
+    s_ref = sgd_state()
+    step = make_train_step(donate=False)
+    s_ref, m1 = step(s_ref, x, y)
+    s_ref, m2 = step(s_ref, x2, y2)
+
+    s_multi = sgd_state()
+    multi = make_train_multi_step(2, donate=False)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    s_multi, mm = multi(s_multi, xs, ys, keys)
+
+    np.testing.assert_allclose(
+        np.asarray(mm["loss"]),
+        [float(m1["loss"]), float(m2["loss"])], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_trainer_multi_step_dispatch(tmp_path):
+    """Trainer with steps_per_dispatch>1: per-step losses come back from the
+    stacked metrics and the step counter advances by K per dispatch."""
+    from tpuseg.train.trainer import Trainer
+
+    cfg = load_config([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=3", "--train.steps_per_dispatch=2",
+        "--train.checkpoint_dir=", "--train.log_every=0",
+    ])
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=8, weight=1.0),
+    )
+    tr = Trainer(cfg)
+    hist = tr.train()
+    # 3 steps rounded up to 2 groups of 2 = 4 steps
+    assert tr.step == 4
+    assert np.isfinite(hist[0]["train_loss"])

@@ -107,6 +107,12 @@ class TrainConfig:
     # dir or .pth — the pretrained-encoder start (tools/import_pretrained.py).
     init_checkpoint: str = ""
     remat: bool = False                  # jax.checkpoint the encoder to save HBM
+    # Train steps executed per host->device dispatch (lax.scan-chained;
+    # numerically identical to dispatching each step). >1 amortizes the
+    # remote-tunnel round trip (~50-100 ms/dispatch on this host) that
+    # otherwise dominates end-to-end training; loss/logging granularity
+    # stays per-step, checkpoint/eval cadence stays per-epoch.
+    steps_per_dispatch: int = 1
     profile_dir: str = ""                # non-empty => jax.profiler trace
     tensorboard_dir: str = ""            # non-empty => TB scalar summaries
     seed: int = 0

@@ -3,14 +3,20 @@
 The reference never computes any metric beyond loss (SURVEY.md §5.5), but the
 north-star target is mIoU parity on BDD100K val, so metrics are first-class
 here. The confusion matrix is accumulated ON DEVICE as a [C, C] int32 matrix
-(one scatter-add per batch) and reduced across the mesh with a psum inside the
-jitted eval step — no per-step host syncs.
+per batch and reduced across the mesh with a psum inside the jitted eval
+step — no per-step host syncs.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Largest per-chunk pixel count whose per-cell counts stay exact under fp32
+# accumulation (2**24). Module-level so tests can shrink it to exercise the
+# chunked path without 16M-element inputs.
+_MAX_EXACT_FP32 = 1 << 24
 
 
 def confusion_matrix(
@@ -18,13 +24,40 @@ def confusion_matrix(
 ) -> jnp.ndarray:
     """[C, C] counts, rows = target class, cols = predicted class.
 
-    Runs on device inside the jitted eval step.
+    Runs on device inside the jitted eval step. Computed as the one-hot
+    contraction ``one_hot(targets).T @ one_hot(preds)`` — an MXU matmul —
+    rather than ``bincount``, whose scatter-add over B*H*W elements is the
+    slow op class on this backend (the same class behind the round-1
+    inference regression and the CE-gather train regression; docs/DESIGN.md
+    §9/§13b). fp32 accumulation counts exactly up to 2**24 per cell; above
+    that the pixel count is chunked so each partial matmul stays exact and
+    the chunks are summed in int32.
     """
-    idx = targets.astype(jnp.int32).reshape(-1) * num_classes + preds.astype(
-        jnp.int32
-    ).reshape(-1)
-    counts = jnp.bincount(idx, length=num_classes * num_classes)
-    return counts.reshape(num_classes, num_classes)
+    t = targets.astype(jnp.int32).reshape(-1)
+    p = preds.astype(jnp.int32).reshape(-1)
+    n = t.shape[0]
+    max_exact = _MAX_EXACT_FP32
+
+    def cm_of(tc, pc):
+        # bf16 one-hots are exact (0/1); accumulation is forced to fp32
+        oh_t = jax.nn.one_hot(tc, num_classes, dtype=jnp.bfloat16)
+        oh_p = jax.nn.one_hot(pc, num_classes, dtype=jnp.bfloat16)
+        return jnp.einsum(
+            "nt,np->tp", oh_t, oh_p, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+
+    if n <= max_exact:
+        return cm_of(t, p)
+    n_chunks = -(-n // max_exact)
+    pad = n_chunks * max_exact - n
+    # pad with class index `num_classes` rows? one_hot of an out-of-range
+    # index is all-zero, so padding with `num_classes` adds nothing.
+    t = jnp.pad(t, (0, pad), constant_values=num_classes)
+    p = jnp.pad(p, (0, pad), constant_values=num_classes)
+    cms = jax.vmap(cm_of)(
+        t.reshape(n_chunks, max_exact), p.reshape(n_chunks, max_exact)
+    )
+    return jnp.sum(cms, axis=0)
 
 
 # The derived metrics below run on HOST (numpy): the confusion matrix is a

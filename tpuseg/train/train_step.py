@@ -65,13 +65,44 @@ def make_train_step(
     remat: bool = False,
     donate: bool = True,
     spatial: bool = False,
+    augment_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted (state, images, labels) -> (state, metrics) step.
 
     ``spatial=True`` additionally shards the image-height dim over the mesh's
     "spatial" axis; XLA's SPMD partitioner inserts the conv halo exchanges
     (SURVEY.md §5.7 — the spatial analogue of sequence parallelism).
+
+    ``augment_fn`` (images_u8, masks_u8, key) -> (x, y) fuses on-device
+    augmentation INTO the step program; the signature becomes
+    (state, images_u8, masks_u8, key) -> (state, metrics). One dispatch per
+    step instead of two — each dispatch through this host's remote-TPU
+    tunnel costs ~50-100 ms of latency, which dominated end-to-end training
+    (43 imgs/s measured vs 1178 device-only; BASELINE.md).
     """
+    step = _step_body(remat, augment_fn)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh, spatial_dim=1 if spatial else None)
+    # augment warps whole images, so its u8 inputs shard on batch only;
+    # GSPMD re-shards the augmented batch onto the spatial axis afterwards
+    data_b = batch_sharding(mesh)
+    in_shardings = (
+        (repl, data_b, data_b, repl) if augment_fn is not None
+        else (repl, data, data)
+    )
+    return jax.jit(
+        step,
+        in_shardings=in_shardings,
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def _step_body(remat: bool, augment_fn: Optional[Callable]) -> Callable:
+    """The un-jitted single-step body shared by the step factories."""
 
     def loss_fn(params, state: TrainState, images, labels):
         apply = state.apply_fn
@@ -94,14 +125,64 @@ def make_train_step(
         metrics = {"loss": loss}
         return state, metrics
 
+    if augment_fn is None:
+        return train_step
+
+    def fused_step(state: TrainState, images_u8, masks_u8, key):
+        x, y = augment_fn(images_u8, masks_u8, key)
+        return train_step(state, x, y)
+
+    return fused_step
+
+
+def make_train_multi_step(
+    k: int,
+    mesh: Optional[Mesh] = None,
+    remat: bool = False,
+    donate: bool = True,
+    spatial: bool = False,
+    augment_fn: Optional[Callable] = None,
+) -> Callable:
+    """K train steps per dispatch via ``lax.scan`` — ONE compiled program,
+    ONE host->device round trip, per K optimizer updates.
+
+    Numerically identical to calling the single step K times (the scan
+    threads state through each iteration); what changes is dispatch
+    frequency. On this host the remote-TPU tunnel costs ~50-100 ms latency
+    per dispatch, which capped end-to-end training at 43 imgs/s while the
+    device-only step rate was 1178+ (BASELINE.md) — amortizing K steps per
+    dispatch removes that wall without touching training semantics. The
+    same trick as bench.py's honesty chain, applied to real training.
+
+    Signature: (state, images[k, B, ...], masks[k, B, ...], keys[k, 2])
+    -> (state, {"loss": [k]}). With ``augment_fn`` the stacked batches are
+    uint8 and augmented on device inside the scan; without it they are the
+    already-augmented (f32, i32) batches and keys are ignored.
+    """
+    body = _step_body(remat, augment_fn)
+
+    def multi_step(state: TrainState, images, masks, keys):
+        def scan_body(st, xs):
+            im, mk, ky = xs
+            if augment_fn is not None:
+                st2, metrics = body(st, im, mk, ky)
+            else:
+                st2, metrics = body(st, im, mk)
+            return st2, metrics["loss"]
+
+        state, losses = jax.lax.scan(scan_body, state, (images, masks, keys))
+        return state, {"loss": losses}
+
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh, spatial_dim=1 if spatial else None)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stacked = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
-        train_step,
-        in_shardings=(repl, data, data),
+        multi_step,
+        in_shardings=(repl, stacked, stacked, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )

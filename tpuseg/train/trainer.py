@@ -111,12 +111,30 @@ class Trainer:
             [round(float(p), 4) for p in self.pipeline.sampler.probs],
         )
 
-        self.train_step = make_train_step(mesh=self.mesh, remat=cfg.train.remat)
-        self.eval_step = make_eval_step(cfg.model.num_classes, mesh=self.mesh)
         self.augment = make_augment_fn(
             cfg.data.height, cfg.data.width, heavy=cfg.data.heavy_augment
         )
         self._aug_key = jax.random.PRNGKey(cfg.data.seed + 1)
+        # Augmentation is fused INTO the jitted step (one dispatch per step;
+        # each dispatch through the remote-TPU tunnel costs ~50-100 ms), and
+        # steps_per_dispatch>1 scan-chains K steps into one dispatch.
+        self.steps_per_dispatch = max(1, cfg.train.steps_per_dispatch)
+        if self.steps_per_dispatch > 1:
+            from tpuseg.train.train_step import make_train_multi_step
+
+            self.train_step = make_train_multi_step(
+                self.steps_per_dispatch,
+                mesh=self.mesh,
+                remat=cfg.train.remat,
+                augment_fn=self.augment,
+            )
+        else:
+            self.train_step = make_train_step(
+                mesh=self.mesh,
+                remat=cfg.train.remat,
+                augment_fn=self.augment,
+            )
+        self.eval_step = make_eval_step(cfg.model.num_classes, mesh=self.mesh)
 
         self.ckpt: Optional[CheckpointManager] = None
         if cfg.train.checkpoint_dir:
@@ -268,7 +286,9 @@ class Trainer:
     def train(self, epochs: Optional[int] = None) -> List[Dict]:
         cfg = self.cfg.train
         epochs = epochs if epochs is not None else cfg.epochs
-        spe = self.steps_per_epoch()
+        k = self.steps_per_dispatch
+        # round steps/epoch up to a whole number of dispatch groups
+        spe = -(-self.steps_per_epoch() // k) * k
         if cfg.resume:
             self.maybe_resume()
         start_epoch = self.step // spe
@@ -294,20 +314,45 @@ class Trainer:
                         )
                     except ImportError:  # pragma: no cover
                         pass
+                group: List = []
                 for images, masks in batches:
-                    self._aug_key, k = jax.random.split(self._aug_key)
-                    x, y = self.augment(images, masks, k)
-                    self.state, metrics = self.train_step(self.state, x, y)
-                    self.step += 1
+                    group.append((images, masks))
+                    if len(group) < k:
+                        continue
+                    self._aug_key, kk = jax.random.split(self._aug_key)
+                    if k == 1:
+                        self.state, metrics = self.train_step(
+                            self.state, group[0][0], group[0][1], kk
+                        )
+                    else:
+                        keys = jax.random.split(kk, k)
+                        self.state, metrics = self.train_step(
+                            self.state,
+                            jnp.stack([g[0] for g in group]),
+                            jnp.stack([g[1] for g in group]),
+                            keys,
+                        )
+                    group = []
+                    self.step += k
+                    # one-dispatch-lagged loss fetch: the device runs the
+                    # next group while the host fetches this one's losses
                     if pending is not None:
-                        losses.append(float(pending["loss"]))
+                        losses.extend(
+                            np.atleast_1d(np.asarray(pending["loss"])).tolist()
+                        )
                     pending = metrics
-                    if cfg.log_every and self.step % cfg.log_every == 0 and losses:
+                    if (
+                        cfg.log_every
+                        and self.step % cfg.log_every < k
+                        and losses
+                    ):
                         log.info(
                             "step %d | loss %.4f", self.step, losses[-1]
                         )
                 if pending is not None:
-                    losses.append(float(pending["loss"]))
+                    losses.extend(
+                        np.atleast_1d(np.asarray(pending["loss"])).tolist()
+                    )
                 dt = time.perf_counter() - t0
                 imgs_sec = spe * cfg.batch_size / max(dt, 1e-9)
                 rec = {
@@ -353,15 +398,19 @@ class Trainer:
         """Full pass over the val split: loss, pixel acc, per-class IoU, mIoU."""
         num_classes = self.cfg.model.num_classes
         cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-        loss_sum, n = 0.0, 0.0
+        # accumulate ON DEVICE; one host fetch after the loop (a per-batch
+        # float() fetch costs a remote-tunnel round trip per batch)
+        loss_sum = jnp.float32(0.0)
+        n_dev = jnp.float32(0.0)
         for images, masks, n_valid in self.pipeline.eval_batches():
             x = normalize_images(images)
             out = self.eval_step(
                 self.state, x, masks.astype(jnp.int32), jnp.asarray(n_valid)
             )
             cm = cm + out["confusion"]
-            loss_sum += float(out["loss_sum"])
-            n += float(out["n"])
+            loss_sum = loss_sum + out["loss_sum"]
+            n_dev = n_dev + out["n"]
+        loss_sum, n = float(loss_sum), float(n_dev)
         if n == 0:
             return {}
         iou = np.asarray(iou_from_confusion(cm))
