@@ -183,3 +183,71 @@ def test_pipeline_skips_unreadable_images(fake_bdd, tmp_path):
     for images, masks in batches:
         assert images.shape == (4, 16, 32, 3)
         assert bool(jax.numpy.isfinite(images.astype("float32")).all())
+
+
+def test_sample_cache_exact_and_bounded():
+    """Cache hits are byte-identical; eviction keeps usage under budget."""
+    from tpuseg.data.pipeline import SampleCache
+
+    rng = np.random.RandomState(0)
+    samples = {
+        i: (rng.randint(0, 255, (4, 4, 3)).astype(np.uint8),
+            rng.randint(0, 9, (4, 4)).astype(np.uint8))
+        for i in range(8)
+    }
+    loads = []
+
+    def loader(i):
+        loads.append(i)
+        return samples[i]
+
+    per = samples[0][0].nbytes + samples[0][1].nbytes
+    cache = SampleCache(budget_bytes=3 * per)
+    for i in [0, 1, 2, 0, 1, 2]:
+        img, msk = cache.get(i, lambda i=i: loader(i))
+        np.testing.assert_array_equal(img, samples[i][0])
+        np.testing.assert_array_equal(msk, samples[i][1])
+    assert loads == [0, 1, 2]  # second round all hit
+    # 4th item evicts the LRU entry; usage stays within budget
+    cache.get(3, lambda: loader(3))
+    assert cache.used <= cache.budget
+    cache.get(0, lambda: loader(0))  # 0 was evicted (LRU) -> reload
+    assert loads == [0, 1, 2, 3, 0]
+    # None (unreadable) is returned but never cached
+    assert cache.get(99, lambda: None) is None
+    assert 99 not in cache._d
+
+
+def test_pipeline_cache_identical_batches():
+    """cache_bytes on vs off: identical train batch streams (same seed),
+    and the eval pass is byte-identical + served from RAM on pass 2."""
+    from tpuseg.data.pipeline import InputPipeline
+
+    def make(cache_bytes):
+        combined = CombinedDataset(
+            [SyntheticSource(12, 32, 16)], val_split=0.25, seed=3
+        )
+        return InputPipeline(
+            combined, batch_size=4, height=16, width=32, seed=0,
+            cache_bytes=cache_bytes,
+        )
+
+    plain, cached = make(0), make(1 << 20)
+    for (xa, ya), (xb, yb) in zip(
+        plain.train_batches(4), cached.train_batches(4)
+    ):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+    ev1 = [(np.asarray(x), np.asarray(y), n)
+           for x, y, n in cached.eval_batches()]
+    assert isinstance(cached._eval_cache, list) and cached._eval_cache
+    ev2 = [(np.asarray(x), np.asarray(y), n)
+           for x, y, n in cached.eval_batches()]
+    for (x1, y1, n1), (x2, y2, n2) in zip(ev1, ev2):
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+        assert n1 == n2
+    # a too-small budget must not freeze a partial cache
+    tiny = make(8)
+    _ = list(tiny.eval_batches())
+    assert tiny._eval_cache is None

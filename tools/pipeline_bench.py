@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=128)
     p.add_argument("--img_dir", default="")
     p.add_argument("--mask_dir", default="")
+    p.add_argument("--cache_mb", type=int, default=0,
+                   help="decoded-sample RAM cache budget (0 = off)")
     p.add_argument("--platform", default="cpu")
     args = p.parse_args(argv)
 
@@ -54,7 +56,11 @@ def main(argv=None) -> int:
         batch_size=args.batch,
         height=args.height,
         width=args.width,
+        cache_bytes=args.cache_mb << 20,
     )
+    if args.cache_mb:  # warm pass so the steady-state (cached) rate is shown
+        for _ in pipe.train_batches(args.steps):
+            pass
     n = 0
     t0 = time.perf_counter()
     for images, masks in pipe.train_batches(args.steps):

@@ -24,8 +24,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# TPU v5e bf16 peak, TFLOP/s per chip (public spec).
+# TPU v5e bf16 peak TFLOP/s and HBM bandwidth GB/s per chip (public spec).
 PEAK_BF16_TFLOPS = 197.0
+PEAK_HBM_GBPS = 819.0
 
 
 def main(argv=None) -> int:
@@ -36,6 +37,9 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--model", default="mobilenetv2_unet")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the encoder: on an HBM-bound step, "
+                        "recomputing activations can beat storing them")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -58,7 +62,8 @@ def main(argv=None) -> int:
     state = create_train_state(
         model, jax.random.PRNGKey(0), (1, args.height, args.width, 3)
     )
-    step = make_train_step(donate=False)  # scan threads state; no donation
+    # scan threads state; no donation
+    step = make_train_step(donate=False, remat=args.remat)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(args.batch, args.height, args.width, 3),
@@ -76,11 +81,17 @@ def main(argv=None) -> int:
         return s2, losses[-1]
 
     flops_per_img = 0.0
+    bytes_per_step = 0.0
     try:
         cost = step.lower(state, x, y).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_img = float(cost["flops"]) / args.batch
+        # XLA's post-fusion HBM traffic estimate. A depthwise-heavy model is
+        # bandwidth-bound, so report how much of the step time the minimum
+        # HBM time explains (roofline %): MFU alone under-states how close
+        # the step is to its real ceiling.
+        bytes_per_step = float(cost.get("bytes accessed", 0.0))
     except Exception:
         pass
 
@@ -101,6 +112,13 @@ def main(argv=None) -> int:
         tflops = imgs_per_sec * flops_per_img / 1e12
         rec["tflops"] = round(tflops, 2)
         rec["mfu_pct"] = round(100.0 * tflops / PEAK_BF16_TFLOPS, 2)
+    if bytes_per_step > 0:
+        step_s = dt / args.steps
+        rec["hbm_gb_per_step"] = round(bytes_per_step / 1e9, 2)
+        rec["hbm_gbps"] = round(bytes_per_step / 1e9 / step_s, 1)
+        rec["hbm_roofline_pct"] = round(
+            100.0 * (bytes_per_step / 1e9 / PEAK_HBM_GBPS) / step_s, 1
+        )
     print(json.dumps(rec))
     return 0
 

@@ -70,6 +70,12 @@ class DataConfig:
     seed: int = 42                       # reference CombinedDataset.py:9
     shuffle_buffer: int = 1024
     prefetch: int = 2                    # batches prefetched to device
+    # RAM budget for caching decoded samples (+ assembled eval batches).
+    # Decode+remap+resize is deterministic per index (augmentation is on
+    # device), so hits are byte-identical; on a one-core host, decode is the
+    # end-to-end training ceiling and a fitting dataset removes it after
+    # epoch 1. 0 disables.
+    cache_bytes: int = 0
     augment: bool = True                 # on-device augmentation when training
     # Extended augmentation (the reference's augmentation.py pipeline, which
     # was written but never wired in — here it is a real switch).

@@ -105,6 +105,7 @@ class Trainer:
             mesh=self.mesh,
             seed=cfg.data.seed,
             prefetch=cfg.data.prefetch,
+            cache_bytes=cfg.data.cache_bytes,
         )
         log.info(
             "source sampling probabilities: %s",
