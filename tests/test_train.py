@@ -329,3 +329,32 @@ def test_trainer_multi_step_dispatch(tmp_path):
     # 3 steps rounded up to 2 groups of 2 = 4 steps
     assert tr.step == 4
     assert np.isfinite(hist[0]["train_loss"])
+
+
+def test_remat_step_matches_plain():
+    """remat=True recomputes the forward in backward; grads and loss must be
+    identical to the stored-activation step (regression: jax.checkpoint used
+    to be applied to model.apply whose str/bool kwargs are not JAX types).
+    SGD keeps the comparison strict — Adam's m/sqrt(v) amplifies recompute
+    fusion-order float noise to ~one-update scale in its first steps."""
+    import optax
+
+    def sgd_state():
+        model = UNet(output_channels=4, base_filters=4)
+        return create_train_state(
+            model, jax.random.PRNGKey(0), (1, 16, 32, 3),
+            tx=optax.sgd(1e-2),
+        )
+
+    state_a = sgd_state()
+    state_b = sgd_state()
+    x, y = _toy_batch(n=4, seed=7)
+    plain = make_train_step(donate=False)
+    remat = make_train_step(donate=False, remat=True)
+    sa, ma = plain(state_a, x, y)
+    sb, mb = remat(state_b, x, y)
+    np.testing.assert_allclose(
+        float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(sa.params),
+                    jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -105,14 +105,17 @@ def _step_body(remat: bool, augment_fn: Optional[Callable]) -> Callable:
     """The un-jitted single-step body shared by the step factories."""
 
     def loss_fn(params, state: TrainState, images, labels):
-        apply = state.apply_fn
+        def fwd(variables, images):
+            # non-array kwargs stay OUT of the remat boundary:
+            # jax.checkpoint requires every traced argument to be a JAX type
+            return state.apply_fn(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+
         if remat:
-            apply = jax.checkpoint(apply, static_argnums=())
-        outputs, new_model_state = apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            images,
-            train=True,
-            mutable=["batch_stats"],
+            fwd = jax.checkpoint(fwd)
+        outputs, new_model_state = fwd(
+            {"params": params, "batch_stats": state.batch_stats}, images
         )
         loss = cross_entropy_loss(outputs, labels)
         return loss, new_model_state["batch_stats"]
