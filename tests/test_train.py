@@ -358,3 +358,60 @@ def test_remat_step_matches_plain():
     for a, b in zip(jax.tree_util.tree_leaves(sa.params),
                     jax.tree_util.tree_leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grad_accum_averages_gradients():
+    """SGD + MultiSteps(2): params move only on the 2nd micro-step, landing
+    at the mean of the two single-step results (params held constant during
+    accumulation => the update applies lr * mean(g1, g2))."""
+    import optax
+
+    def sgd_state(accum):
+        model = UNet(output_channels=4, base_filters=4)
+        tx = optax.sgd(1e-2)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return create_train_state(
+            model, jax.random.PRNGKey(0), (1, 16, 32, 3), tx=tx
+        )
+
+    x1, y1 = _toy_batch(n=4, seed=1)
+    x2, y2 = _toy_batch(n=4, seed=2)
+    step = make_train_step(donate=False)
+
+    s_a = sgd_state(1)
+    sa1, _ = step(s_a, x1, y1)          # p0 - lr*g1
+    sa2, _ = step(s_a, x2, y2)          # p0 - lr*g2  (both from p0)
+
+    s_m = sgd_state(2)
+    sm, _ = step(s_m, x1, y1)
+    for p0, p in zip(jax.tree_util.tree_leaves(s_m.params),
+                     jax.tree_util.tree_leaves(sm.params)):
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p))
+    sm, _ = step(sm, x2, y2)
+
+    for a1, a2, m in zip(jax.tree_util.tree_leaves(sa1.params),
+                         jax.tree_util.tree_leaves(sa2.params),
+                         jax.tree_util.tree_leaves(sm.params)):
+        np.testing.assert_allclose(
+            np.asarray(m), (np.asarray(a1) + np.asarray(a2)) / 2, atol=1e-6
+        )
+
+
+def test_trainer_grad_accum_config(tmp_path):
+    """--train.grad_accum wires MultiSteps through the Trainer end-to-end."""
+    from tpuseg.train.trainer import Trainer
+
+    cfg = load_config([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=4", "--train.grad_accum=2",
+        "--train.optimizer=sgd",
+        "--train.checkpoint_dir=", "--train.log_every=0",
+    ])
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=8, weight=1.0),
+    )
+    hist = Trainer(cfg).train()
+    assert np.isfinite(hist[0]["train_loss"])

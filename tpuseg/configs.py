@@ -119,6 +119,9 @@ class TrainConfig:
     # otherwise dominates end-to-end training; loss/logging granularity
     # stays per-step, checkpoint/eval cadence stays per-epoch.
     steps_per_dispatch: int = 1
+    # Micro-batches averaged per optimizer update (optax.MultiSteps): a
+    # k-times-larger effective batch without the activation memory. 1 = off.
+    grad_accum: int = 1
     profile_dir: str = ""                # non-empty => jax.profiler trace
     tensorboard_dir: str = ""            # non-empty => TB scalar summaries
     seed: int = 0

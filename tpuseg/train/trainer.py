@@ -165,11 +165,19 @@ class Trainer:
 
     def _build_optimizer(self):
         """None => train_step's default (reference-parity Adam). Otherwise an
-        optax chain for the configured optimizer/schedule."""
+        optax chain for the configured optimizer/schedule.
+
+        ``grad_accum=k`` wraps the chain in ``optax.MultiSteps``: gradients
+        average over k micro-batches and the inner update applies every k-th
+        step — a k-times-larger effective batch without k-times the
+        activation memory. BN running stats still update per micro-batch
+        (same as a torch accumulation loop's ``forward()`` calls).
+        """
         import optax
 
         cfg = self.cfg.train
-        if cfg.lr_schedule == "" and cfg.optimizer == "adam":
+        if (cfg.lr_schedule == "" and cfg.optimizer == "adam"
+                and cfg.grad_accum <= 1):
             return None
         lr = cfg.lr
         if cfg.lr_schedule == "cosine":
@@ -183,15 +191,19 @@ class Trainer:
         elif cfg.lr_schedule:
             raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
         if cfg.optimizer == "adam":
-            return optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
-        if cfg.optimizer == "adamw":
-            return optax.adamw(
+            tx = optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+        elif cfg.optimizer == "adamw":
+            tx = optax.adamw(
                 lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
                 weight_decay=cfg.weight_decay,
             )
-        if cfg.optimizer == "sgd":
-            return optax.sgd(lr, momentum=cfg.momentum)
-        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+        elif cfg.optimizer == "sgd":
+            tx = optax.sgd(lr, momentum=cfg.momentum)
+        else:
+            raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+        if cfg.grad_accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+        return tx
 
     def _load_init_checkpoint(self, path: str) -> None:
         """Initialize params/batch_stats from a checkpoint (or .pth) WITHOUT
