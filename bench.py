@@ -42,6 +42,9 @@ import time
 # Measured via tests/torch_ref.TorchMobileNetV2UNet.eval(), batch=1,
 # torch.set_num_threads(1), on this host (see module docstring).
 REFERENCE_CPU_FPS_512 = 2.58
+# Same measurement per input size (W, H) — 256x128 is the reference's
+# native input (main.py:23).
+REFERENCE_CPU_FPS = {(512, 512): 2.58, (256, 128): 18.0}
 
 # TPU v5e (v5 lite) bf16 peak: 197 TFLOP/s per chip (public spec).
 PEAK_BF16_TFLOPS = 197.0
@@ -55,7 +58,12 @@ FLOPS_PER_FRAME_512_FALLBACK = 24.0e9
 # 256 -> 1742.9. 128 is the throughput knee; it is the headline config.
 DEFAULT_BATCH = 128
 BATCH = int(os.environ.get("TPUSEG_BENCH_BATCH", str(DEFAULT_BATCH)))
-HEIGHT = WIDTH = 512
+# TPUSEG_BENCH_SIZE="WxH" overrides the input size (e.g. "256x128", the
+# reference's native input). Non-default sizes are tagged in "config" so
+# the 512x512 regression guard/history stay per-config clean.
+DEFAULT_SIZE = (512, 512)
+_size = os.environ.get("TPUSEG_BENCH_SIZE", "512x512")
+WIDTH, HEIGHT = (int(v) for v in _size.lower().split("x"))
 CHAIN = 32
 
 S2D = os.environ.get("TPUSEG_BENCH_S2D", "0") == "1"
@@ -79,7 +87,7 @@ def _flops_per_frame(fwd, variables, x) -> float:
             return flops / x.shape[0]
     except Exception:
         pass
-    return FLOPS_PER_FRAME_512_FALLBACK
+    return FLOPS_PER_FRAME_512_FALLBACK * (HEIGHT * WIDTH) / (512 * 512)
 
 
 def _measure() -> dict:
@@ -162,15 +170,17 @@ def _measure() -> dict:
 
 def _config_tag() -> dict:
     return {"s2d": S2D, "pallas": PALLAS, "int8": INT8, "foldbn": FOLDBN,
-            "subpix": SUBPIX, "fused_head": FUSED_HEAD, "batch": BATCH}
+            "subpix": SUBPIX, "fused_head": FUSED_HEAD, "batch": BATCH,
+            "size": f"{WIDTH}x{HEIGHT}"}
 
 
 def _record(m: dict, stale: bool = False) -> dict:
+    ref_fps = REFERENCE_CPU_FPS.get((WIDTH, HEIGHT), REFERENCE_CPU_FPS_512)
     rec = {
-        "metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+        "metric": f"mobilenetv2_unet_infer_{WIDTH}x{HEIGHT}_fps_per_chip",
         "value": round(m["fps"], 1),
         "unit": "frames/sec",
-        "vs_baseline": round(m["fps"] / REFERENCE_CPU_FPS_512, 1),
+        "vs_baseline": round(m["fps"] / ref_fps, 1),
         "tflops": round(m.get("tflops", 0.0), 2),
         "mfu_pct": round(m.get("mfu_pct", 0.0), 2),
     }
@@ -181,7 +191,8 @@ def _record(m: dict, stale: bool = False) -> dict:
     cfg = _config_tag()
     if any(
         cfg[k] for k in ("s2d", "pallas", "int8", "foldbn", "fused_head")
-    ) or not cfg["subpix"] or cfg["batch"] != DEFAULT_BATCH:
+    ) or not cfg["subpix"] or cfg["batch"] != DEFAULT_BATCH \
+            or (WIDTH, HEIGHT) != DEFAULT_SIZE:
         rec["config"] = cfg
     return rec
 
@@ -225,11 +236,15 @@ def main() -> None:
         return
 
     env = dict(os.environ, TPUSEG_BENCH_CHILD="1")
+    # First compile of a fresh (size, batch) config can exceed the default
+    # through the remote tunnel; killing the child mid-EXECUTION can wedge
+    # the chip, so prefer raising this over re-running a timed-out config.
+    watchdog_s = int(os.environ.get("TPUSEG_BENCH_TIMEOUT", "480"))
     for attempt in range(2):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=480,
+                env=env, capture_output=True, text=True, timeout=watchdog_s,
             )
             for line in out.stdout.splitlines():
                 line = line.strip()
@@ -255,14 +270,18 @@ def main() -> None:
                     return
         except subprocess.TimeoutExpired:
             print(f"bench attempt {attempt} timed out", file=sys.stderr)
-    # both attempts failed: report the last real measurement, marked stale
+    # both attempts failed: report the last real measurement FOR THIS METRIC
+    # (a non-default size must not resurface under another size's number),
+    # marked stale
+    metric = f"mobilenetv2_unet_infer_{WIDTH}x{HEIGHT}_fps_per_chip"
     last = None
     if os.path.exists(HISTORY):
         with open(HISTORY) as f:
             lines = [l for l in f.read().splitlines() if l.strip()]
         for line in reversed(lines):
             rec = json.loads(line)
-            if not rec.get("stale") and not rec.get("config"):
+            if (not rec.get("stale") and not rec.get("config")
+                    and rec.get("metric") == metric):
                 last = rec
                 break
     if last:
