@@ -1,0 +1,98 @@
+"""bench.py contract: ONE JSON line, per-size metrics/history hygiene.
+
+The driver runs bench.py at the end of every round and records its single
+JSON line; these tests pin the host-side logic (record shape, config
+tagging, regression-guard history filter, stale fallback) without touching
+a TPU.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _load(monkeypatch, **env):
+    for k in list(os.environ):
+        if k.startswith("TPUSEG_BENCH"):
+            monkeypatch.delenv(k, raising=False)
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    spec = importlib.util.spec_from_file_location("benchmod", BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_default_record_shape(monkeypatch):
+    m = _load(monkeypatch)
+    rec = m._record({"fps": 1000.0, "tflops": 10.0, "mfu_pct": 5.0})
+    assert rec["metric"] == "mobilenetv2_unet_infer_512x512_fps_per_chip"
+    assert rec["unit"] == "frames/sec"
+    assert rec["vs_baseline"] == round(1000.0 / 2.58, 1)
+    assert "config" not in rec  # default config records stay guard-eligible
+
+
+def test_size_override_tags_config(monkeypatch):
+    m = _load(monkeypatch, TPUSEG_BENCH_SIZE="256x128")
+    rec = m._record({"fps": 1000.0})
+    assert rec["metric"] == "mobilenetv2_unet_infer_256x128_fps_per_chip"
+    # denominator switches to the reference CPU fps at that size (18.0)
+    assert rec["vs_baseline"] == round(1000.0 / 18.0, 1)
+    assert rec["config"]["size"] == "256x128"
+
+
+def test_history_best_ignores_config_and_stale(monkeypatch, tmp_path):
+    m = _load(monkeypatch)
+    hist = tmp_path / "hist.json"
+    lines = [
+        {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+         "value": 2000.0},
+        {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+         "value": 9000.0, "stale": True},
+        {"metric": "mobilenetv2_unet_infer_256x128_fps_per_chip",
+         "value": 8000.0, "config": {"size": "256x128"}},
+    ]
+    hist.write_text("\n".join(json.dumps(l) for l in lines) + "\n")
+    monkeypatch.setattr(m, "HISTORY", str(hist))
+    assert m._history_best() == 2000.0
+
+
+def test_watchdog_stale_fallback_is_per_metric(monkeypatch, tmp_path):
+    """With an instant watchdog trip, the 512x512 fallback reuses its own
+    last real record; a non-default size must NOT borrow it (value 0)."""
+    hist = tmp_path / "hist.json"
+    hist.write_text(json.dumps({
+        "metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+        "value": 1234.5, "tflops": 3.0, "mfu_pct": 1.5,
+    }) + "\n")
+
+    def run(extra_env):
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith("TPUSEG_BENCH")}
+        env.update({"TPUSEG_BENCH_TIMEOUT": "1", **extra_env})
+        out = subprocess.run(
+            [sys.executable, BENCH], env=env, capture_output=True,
+            text=True, timeout=120, cwd=REPO,
+        )
+        js = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
+        assert len(js) == 1, out.stdout  # the ONE-json-line contract
+        return json.loads(js[0])
+
+    # point HISTORY at the temp file via a shim module load is not possible
+    # in a subprocess; instead assert against the real history semantics:
+    rec = run({})
+    assert rec["stale"] is True
+    assert rec["metric"] == "mobilenetv2_unet_infer_512x512_fps_per_chip"
+    assert rec["value"] > 0  # real history exists in the repo
+
+    rec2 = run({"TPUSEG_BENCH_SIZE": "64x32"})
+    assert rec2["stale"] is True
+    assert rec2["metric"] == "mobilenetv2_unet_infer_64x32_fps_per_chip"
+    assert rec2["value"] == 0.0  # never borrows another size's number
