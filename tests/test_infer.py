@@ -143,3 +143,20 @@ def test_process_frame_matches_pipeline_components():
     expect, expect_det = overlay_predictions(frame, classes)
     np.testing.assert_array_equal(result, expect)
     assert det == expect_det
+
+
+def test_predictor_mesh_sharded_equals_single(mesh8):
+    """Serving-side data parallelism: a mesh-sharded Predictor returns the
+    same class maps as the single-device one (params replicated, batch
+    sharded on the "data" axis, XLA partitions the whole program)."""
+    cfg = ModelConfig(name="unet", base_filters=4, num_classes=10)
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 255, (8, 60, 100, 3), np.uint8)
+
+    plain = Predictor(cfg, input_hw=(32, 64), batch_size=8)
+    sharded = Predictor(cfg, input_hw=(32, 64), batch_size=8, mesh=mesh8)
+    # same init seed => same params; outputs must match exactly
+    np.testing.assert_array_equal(plain(frames), sharded(frames))
+
+    with pytest.raises(ValueError, match="single-chip"):
+        Predictor(cfg, mesh=mesh8, colorize_on_device=True)

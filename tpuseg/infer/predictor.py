@@ -66,8 +66,20 @@ class Predictor:
         input_hw: Tuple[int, int] = (128, 256),
         batch_size: int = 8,
         colorize_on_device: bool = False,
+        mesh=None,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` with a "data" axis shards each
+        batch over the chips (params replicated, XLA partitions the whole
+        program) — serving-side data parallelism, the inference counterpart
+        of the sharded train step. The Pallas colorize kernel is not
+        partitionable, so ``colorize_on_device`` requires ``mesh=None``."""
+        if mesh is not None and (colorize_on_device or model_cfg.use_pallas):
+            raise ValueError(
+                "colorize_on_device/use_pallas is single-chip only; "
+                "with a mesh, colorize on host (native C++ path) instead"
+            )
         self.model = build_model(model_cfg)
+        self.mesh = mesh
         self.input_hw = input_hw
         self.batch_size = batch_size
         # Pallas fused argmax+colorize (tpuseg.ops.pallas_kernels): the device
@@ -89,6 +101,12 @@ class Predictor:
         self.variables = load_variables(checkpoint, model_cfg.name, init_fn)
         # calibrated int8 artifact: every ConvBNAct runs int8 x int8 on the MXU
         self.int8 = "quant" in self.variables
+        if mesh is not None:
+            from tpuseg.core.mesh import replicated_sharding
+
+            self.variables = jax.device_put(
+                self.variables, replicated_sharding(mesh)
+            )
         self._jitted = {}
 
     def _fn_for(self, frame_hw: Tuple[int, int]):
@@ -99,7 +117,6 @@ class Predictor:
         colorize = self.colorize_on_device
         int8 = self.int8
 
-        @jax.jit
         def run(variables, frames):
             x = frames.astype(jnp.float32)
             # cv2.resize INTER_LINEAR == half-pixel bilinear (inference.py:30)
@@ -129,6 +146,19 @@ class Predictor:
             # nearest upscale back to frame size (inference.py:68-70)
             return resize_nearest(classes, fh, fw)
 
+        if self.mesh is None:
+            run = jax.jit(run)
+        else:
+            from tpuseg.core.mesh import batch_sharding, replicated_sharding
+
+            run = jax.jit(
+                run,
+                in_shardings=(
+                    replicated_sharding(self.mesh),
+                    batch_sharding(self.mesh),
+                ),
+                out_shardings=batch_sharding(self.mesh),
+            )
         self._jitted[frame_hw] = run
         return run
 
