@@ -40,6 +40,9 @@ def main(argv=None) -> int:
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the encoder: on an HBM-bound step, "
                         "recomputing activations can beat storing them")
+    p.add_argument("--eval", action="store_true",
+                   help="benchmark the eval step (fwd + loss + confusion "
+                        "matrix) instead of the train step")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -63,7 +66,27 @@ def main(argv=None) -> int:
         model, jax.random.PRNGKey(0), (1, args.height, args.width, 3)
     )
     # scan threads state; no donation
-    step = make_train_step(donate=False, remat=args.remat)
+    if args.eval:
+        from tpuseg.train.train_step import make_eval_step
+
+        eval_step = make_eval_step(10)
+
+        # The eval step is stateless, so the scan threads a scalar carry
+        # INTO the inputs (bench.py's honesty trick) — otherwise XLA hoists
+        # the loop-invariant computation out and the chain measures nothing.
+        def step(st, xx, yy, carry=None):
+            if carry is not None:
+                xx = xx + carry * 1e-9
+            out = eval_step(st, xx, yy, jnp.int32(xx.shape[0]))
+            dep = out["loss_sum"] + jnp.sum(out["confusion"]).astype(
+                jnp.float32) * 1e-20
+            return st, {"loss": dep}
+
+        cost_lowered = lambda: eval_step.lower(
+            state, x, y, jnp.int32(args.batch))
+    else:
+        step = make_train_step(donate=False, remat=args.remat)
+        cost_lowered = lambda: step.lower(state, x, y)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(args.batch, args.height, args.width, 3),
@@ -71,19 +94,32 @@ def main(argv=None) -> int:
     y = jnp.asarray(rng.randint(0, 10, (args.batch, args.height, args.width)),
                     jnp.int32)
 
-    @jax.jit
-    def chain(st, xx, yy):
-        def body(s, _):
-            s2, m = step(s, xx, yy)
-            return s2, m["loss"]
+    if args.eval:
+        @jax.jit
+        def chain(st, xx, yy):
+            def body(carry, _):
+                s, prev = carry
+                s2, m = step(s, xx, yy, prev)
+                return (s2, m["loss"]), m["loss"]
 
-        s2, losses = lax.scan(body, st, None, length=args.steps)
-        return s2, losses[-1]
+            (_, _), losses = lax.scan(
+                body, (st, jnp.float32(0)), None, length=args.steps
+            )
+            return st, losses[-1]
+    else:
+        @jax.jit
+        def chain(st, xx, yy):
+            def body(s, _):
+                s2, m = step(s, xx, yy)
+                return s2, m["loss"]
+
+            s2, losses = lax.scan(body, st, None, length=args.steps)
+            return s2, losses[-1]
 
     flops_per_img = 0.0
     bytes_per_step = 0.0
     try:
-        cost = step.lower(state, x, y).compile().cost_analysis()
+        cost = cost_lowered().compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_img = float(cost["flops"]) / args.batch
@@ -102,8 +138,10 @@ def main(argv=None) -> int:
     loss = float(loss)                  # sync: fetch forces completion
     dt = time.perf_counter() - t0
     imgs_per_sec = args.batch * args.steps / dt
+    mode = "eval" if args.eval else "train"
     rec = {
-        "metric": f"{args.model}_train_{args.width}x{args.height}_imgs_per_sec",
+        "metric":
+            f"{args.model}_{mode}_{args.width}x{args.height}_imgs_per_sec",
         "value": round(imgs_per_sec, 1),
         "unit": "imgs/sec",
         "loss": loss,
