@@ -92,6 +92,13 @@ def _flops_per_frame(fwd, variables, x) -> float:
 
 def _measure() -> dict:
     import jax
+
+    # TPUSEG_BENCH_PLATFORM=cpu runs the measurement off-TPU (tests, logic
+    # checks). Must be applied before backend init; the env var alone is
+    # not enough (sitecustomize appends the axon platform).
+    platform = os.environ.get("TPUSEG_BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
@@ -197,8 +204,11 @@ def _record(m: dict, stale: bool = False) -> dict:
     return rec
 
 
-HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "bench_history.json")
+HISTORY = os.environ.get(
+    "TPUSEG_BENCH_HISTORY",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_history.json"),
+)
 
 
 def _history_best() -> float:
@@ -270,18 +280,20 @@ def main() -> None:
                     return
         except subprocess.TimeoutExpired:
             print(f"bench attempt {attempt} timed out", file=sys.stderr)
-    # both attempts failed: report the last real measurement FOR THIS METRIC
-    # (a non-default size must not resurface under another size's number),
-    # marked stale
-    metric = f"mobilenetv2_unet_infer_{WIDTH}x{HEIGHT}_fps_per_chip"
+    # both attempts failed: report the last real measurement FOR THIS exact
+    # config (a non-default size/config must not resurface under another's
+    # number — non-default records always carry a "config" tag, so match on
+    # config equality, not config absence), marked stale
+    expected = _record({"fps": 0.0})
     last = None
     if os.path.exists(HISTORY):
         with open(HISTORY) as f:
             lines = [l for l in f.read().splitlines() if l.strip()]
         for line in reversed(lines):
             rec = json.loads(line)
-            if (not rec.get("stale") and not rec.get("config")
-                    and rec.get("metric") == metric):
+            if (not rec.get("stale")
+                    and rec.get("config") == expected.get("config")
+                    and rec.get("metric") == expected["metric"]):
                 last = rec
                 break
     if last:

@@ -65,18 +65,31 @@ def test_history_best_ignores_config_and_stale(monkeypatch, tmp_path):
 
 
 def test_watchdog_stale_fallback_is_per_metric(monkeypatch, tmp_path):
-    """With an instant watchdog trip, the 512x512 fallback reuses its own
-    last real record; a non-default size must NOT borrow it (value 0)."""
+    """With an instant watchdog trip, each config's fallback reuses only its
+    OWN last real record. The child is pinned to the CPU platform
+    (TPUSEG_BENCH_PLATFORM): a kill mid-TPU-execution wedges the chip, so
+    this test must never let the watchdog reach a TPU-bound child."""
     hist = tmp_path / "hist.json"
-    hist.write_text(json.dumps({
-        "metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
-        "value": 1234.5, "tflops": 3.0, "mfu_pct": 1.5,
-    }) + "\n")
+    lines = [
+        {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+         "value": 1234.5, "tflops": 3.0, "mfu_pct": 1.5},
+        {"metric": "mobilenetv2_unet_infer_64x32_fps_per_chip",
+         "value": 77.0,
+         "config": {"s2d": False, "pallas": False, "int8": False,
+                    "foldbn": False, "subpix": True, "fused_head": False,
+                    "batch": 128, "size": "64x32"}},
+    ]
+    hist.write_text("\n".join(json.dumps(l) for l in lines) + "\n")
 
     def run(extra_env):
         env = {k: v for k, v in os.environ.items()
                if not k.startswith("TPUSEG_BENCH")}
-        env.update({"TPUSEG_BENCH_TIMEOUT": "1", **extra_env})
+        env.update({
+            "TPUSEG_BENCH_TIMEOUT": "1",
+            "TPUSEG_BENCH_PLATFORM": "cpu",
+            "TPUSEG_BENCH_HISTORY": str(hist),
+            **extra_env,
+        })
         out = subprocess.run(
             [sys.executable, BENCH], env=env, capture_output=True,
             text=True, timeout=120, cwd=REPO,
@@ -85,14 +98,16 @@ def test_watchdog_stale_fallback_is_per_metric(monkeypatch, tmp_path):
         assert len(js) == 1, out.stdout  # the ONE-json-line contract
         return json.loads(js[0])
 
-    # point HISTORY at the temp file via a shim module load is not possible
-    # in a subprocess; instead assert against the real history semantics:
     rec = run({})
     assert rec["stale"] is True
     assert rec["metric"] == "mobilenetv2_unet_infer_512x512_fps_per_chip"
-    assert rec["value"] > 0  # real history exists in the repo
+    assert rec["value"] == 1234.5  # its own last real record
 
     rec2 = run({"TPUSEG_BENCH_SIZE": "64x32"})
     assert rec2["stale"] is True
     assert rec2["metric"] == "mobilenetv2_unet_infer_64x32_fps_per_chip"
-    assert rec2["value"] == 0.0  # never borrows another size's number
+    assert rec2["value"] == 77.0  # the config-tagged record for THIS size
+
+    rec3 = run({"TPUSEG_BENCH_SIZE": "96x48"})
+    assert rec3["stale"] is True
+    assert rec3["value"] == 0.0  # never borrows another size's number

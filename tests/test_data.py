@@ -241,6 +241,10 @@ def test_pipeline_cache_identical_batches():
     ev1 = [(np.asarray(x), np.asarray(y), n)
            for x, y, n in cached.eval_batches()]
     assert isinstance(cached._eval_cache, list) and cached._eval_cache
+    # the eval cache debits the SAME budget as the sample cache (the
+    # configured cache_bytes is a single total, not two)
+    eval_bytes = sum(x.nbytes + y.nbytes for x, y, _ in cached._eval_cache)
+    assert cached._cache.used >= eval_bytes
     ev2 = [(np.asarray(x), np.asarray(y), n)
            for x, y, n in cached.eval_batches()]
     for (x1, y1, n1), (x2, y2, n2) in zip(ev1, ev2):

@@ -415,3 +415,37 @@ def test_trainer_grad_accum_config(tmp_path):
     )
     hist = Trainer(cfg).train()
     assert np.isfinite(hist[0]["train_loss"])
+
+
+def test_resume_with_different_steps_per_dispatch(tmp_path):
+    """The epoch counter is checkpointed explicitly: resuming with a
+    different steps_per_dispatch (which rounds steps/epoch up to whole
+    dispatch groups) must not re-run or skip completed epochs."""
+    from tpuseg.train.trainer import Trainer
+
+    base = [
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=2",
+        "--train.steps_per_epoch=3", "--train.lr=1e-3",
+        f"--train.checkpoint_dir={tmp_path}/ck",
+        "--train.log_every=0",
+    ]
+    cfg = load_config(base)
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+    )
+    t = Trainer(cfg)
+    t.train()
+    assert t.epoch == 2 and t.step == 6
+    t.ckpt.wait()
+
+    # resume with k=2: spe becomes 4, step//spe would say epoch 1 — the
+    # explicit counter must still say both epochs are done
+    cfg2 = load_config(base + ["--train.steps_per_dispatch=2",
+                               "--train.resume=true"])
+    cfg2.data.sources = cfg.data.sources
+    t2 = Trainer(cfg2)
+    hist = t2.train()
+    assert t2.epoch == 2 and t2.step == 6  # nothing re-run
+    assert hist == []

@@ -246,8 +246,11 @@ class InputPipeline:
                 imgs, msks, n = item
                 if collect is not None:
                     collected_bytes += imgs.nbytes + msks.nbytes
-                    if collected_bytes > self._cache.budget:
-                        collect = None  # val split too big for the budget
+                    # ONE budget shared with the sample cache (configs.py
+                    # documents cache_bytes as the total): only what fits in
+                    # the remaining headroom is kept
+                    if collected_bytes > self._cache.budget - self._cache.used:
+                        collect = None  # val split too big for the headroom
                     else:
                         collect.append((imgs, msks, n))
                 yield (*self._put((imgs, msks)), n)
@@ -255,6 +258,7 @@ class InputPipeline:
             # generator must not freeze a partial epoch as "the val set")
             if completed and collect is not None:
                 self._eval_cache = collect
+                self._cache.used += collected_bytes  # reserve the budget
         finally:
             stop.set()
             t.join(timeout=5)

@@ -78,6 +78,13 @@ class Predictor:
                 "colorize_on_device/use_pallas is single-chip only; "
                 "with a mesh, colorize on host (native C++ path) instead"
             )
+        if mesh is not None:
+            n_data = mesh.shape.get("data", 1)
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"data axis ({n_data} devices)"
+                )
         self.model = build_model(model_cfg)
         self.mesh = mesh
         self.input_hw = input_hw
@@ -165,6 +172,14 @@ class Predictor:
     def __call__(self, frames: np.ndarray):
         """frames: uint8 RGB [B, H, W, 3] -> class maps uint8 [B, H, W]
         (plus packed-BGR uint32 overlays when colorize_on_device)."""
+        if self.mesh is not None:
+            n_data = self.mesh.shape.get("data", 1)
+            if frames.shape[0] % n_data:
+                raise ValueError(
+                    f"batch of {frames.shape[0]} frames not divisible by "
+                    f"the mesh's data axis ({n_data} devices) — pad the "
+                    "batch (VideoPipeline does this automatically)"
+                )
         fn = self._fn_for((frames.shape[1], frames.shape[2]))
         out = fn(self.variables, jnp.asarray(frames))
         if self.colorize_on_device:

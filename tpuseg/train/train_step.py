@@ -80,14 +80,17 @@ def make_train_step(
     tunnel costs ~50-100 ms of latency, which dominated end-to-end training
     (43 imgs/s measured vs 1178 device-only; BASELINE.md).
     """
-    step = _step_body(remat, augment_fn)
+    step = _step_body(
+        remat, augment_fn, constrain=_spatial_constraint(mesh, spatial)
+    )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh, spatial_dim=1 if spatial else None)
-    # augment warps whole images, so its u8 inputs shard on batch only;
-    # GSPMD re-shards the augmented batch onto the spatial axis afterwards
+    # augment warps whole images, so its u8 inputs shard on batch only; an
+    # explicit with_sharding_constraint inside the step (see _step_body)
+    # re-shards the augmented batch onto the spatial axis
     data_b = batch_sharding(mesh)
     in_shardings = (
         (repl, data_b, data_b, repl) if augment_fn is not None
@@ -101,7 +104,29 @@ def make_train_step(
     )
 
 
-def _step_body(remat: bool, augment_fn: Optional[Callable]) -> Callable:
+def _spatial_constraint(mesh: Optional[Mesh], spatial: bool):
+    """with_sharding_constraint onto (data, spatial) for an augmented batch
+    — augment inputs arrive sharded on batch only (whole-image warps), so
+    the constraint is what actually moves the H dim onto the "spatial"
+    axis; without it GSPMD is free to keep the batch replicated there."""
+    if mesh is None or not spatial:
+        return None
+    sharding = batch_sharding(mesh, spatial_dim=1)
+
+    def constrain(x, y):
+        return (
+            jax.lax.with_sharding_constraint(x, sharding),
+            jax.lax.with_sharding_constraint(y, sharding),
+        )
+
+    return constrain
+
+
+def _step_body(
+    remat: bool,
+    augment_fn: Optional[Callable],
+    constrain: Optional[Callable] = None,
+) -> Callable:
     """The un-jitted single-step body shared by the step factories."""
 
     def loss_fn(params, state: TrainState, images, labels):
@@ -133,6 +158,8 @@ def _step_body(remat: bool, augment_fn: Optional[Callable]) -> Callable:
 
     def fused_step(state: TrainState, images_u8, masks_u8, key):
         x, y = augment_fn(images_u8, masks_u8, key)
+        if constrain is not None:
+            x, y = constrain(x, y)
         return train_step(state, x, y)
 
     return fused_step
@@ -162,7 +189,9 @@ def make_train_multi_step(
     uint8 and augmented on device inside the scan; without it they are the
     already-augmented (f32, i32) batches and keys are ignored.
     """
-    body = _step_body(remat, augment_fn)
+    body = _step_body(
+        remat, augment_fn, constrain=_spatial_constraint(mesh, spatial)
+    )
 
     def multi_step(state: TrainState, images, masks, keys):
         def scan_body(st, xs):
@@ -182,7 +211,14 @@ def make_train_multi_step(
     repl = replicated_sharding(mesh)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    stacked = NamedSharding(mesh, P(None, "data"))
+    # stacked [k, B, H, ...]: batch on "data"; without augment the inputs
+    # are already final, so the spatial axis shards H (dim 2) directly —
+    # with augment the in-step constraint (see _spatial_constraint) moves
+    # H onto "spatial" after the warp instead.
+    if spatial and augment_fn is None:
+        stacked = NamedSharding(mesh, P(None, "data", "spatial"))
+    else:
+        stacked = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
         multi_step,
         in_shardings=(repl, stacked, stacked, repl),

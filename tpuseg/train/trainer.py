@@ -143,6 +143,10 @@ class Trainer:
                 cfg.train.checkpoint_dir, max_to_keep=cfg.train.keep_checkpoints
             )
         self.step = 0
+        # epochs COMPLETED — checkpointed explicitly: deriving it from
+        # step//steps_per_epoch breaks when steps_per_dispatch (which rounds
+        # steps/epoch up to whole dispatch groups) changes between runs
+        self.epoch = 0
         self.history: List[Dict] = []
         self._best_miou = float("-inf")
         self._tb = None
@@ -250,6 +254,7 @@ class Trainer:
                 "batch_stats": self.state.batch_stats,
                 "opt_state": self.state.opt_state,
                 "step": np.asarray(self.step, np.int64),
+                "epoch": np.asarray(self.epoch, np.int64),
             },
             "sampler": self._sampler_state_pytree(),
         }
@@ -264,10 +269,18 @@ class Trainer:
                 "batch_stats": self.state.batch_stats,
                 "opt_state": self.state.opt_state,
                 "step": np.asarray(0, np.int64),
+                "epoch": np.asarray(0, np.int64),
             },
             "sampler": self._sampler_state_pytree(),
         }
-        restored = self.ckpt.restore(template=template)
+        has_epoch = True
+        try:
+            restored = self.ckpt.restore(template=template)
+        except Exception:
+            # checkpoint predates the explicit epoch counter
+            del template["state"]["epoch"]
+            restored = self.ckpt.restore(template=template)
+            has_epoch = False
         st = restored["state"]
         self.state = self.state.replace(
             params=st["params"],
@@ -275,6 +288,11 @@ class Trainer:
             opt_state=st["opt_state"],
         )
         self.step = int(st["step"])
+        if has_epoch:
+            self.epoch = int(st["epoch"])
+        else:  # legacy fallback: derive from the current epoch rounding
+            k = self.steps_per_dispatch
+            self.epoch = self.step // (-(-self.steps_per_epoch() // k) * k)
         s = restored["sampler"]
         self.pipeline.restore(
             {
@@ -304,7 +322,7 @@ class Trainer:
         spe = -(-self.steps_per_epoch() // k) * k
         if cfg.resume:
             self.maybe_resume()
-        start_epoch = self.step // spe
+        start_epoch = self.epoch
 
         profiling = False
         if cfg.profile_dir:
@@ -367,6 +385,7 @@ class Trainer:
                         np.atleast_1d(np.asarray(pending["loss"])).tolist()
                     )
                 dt = time.perf_counter() - t0
+                self.epoch = epoch + 1  # completed; saved with checkpoints
                 imgs_sec = spe * cfg.batch_size / max(dt, 1e-9)
                 rec = {
                     "epoch": epoch + 1,
