@@ -255,3 +255,45 @@ def test_pipeline_cache_identical_batches():
     tiny = make(8)
     _ = list(tiny.eval_batches())
     assert tiny._eval_cache is None
+
+
+def test_packed_dataset_roundtrip(tmp_path):
+    """tools/pack_dataset.py -> PackedSource: byte-identical samples, and
+    a size mismatch fails fast with a re-pack hint."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "packed"
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "pack_dataset.py"),
+         "--kind", "synthetic", "--num_samples", "12",
+         "--out", str(out), "--width", "32", "--height", "16"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+
+    from tpuseg.data.sources import PackedSource, SyntheticSource
+
+    packed = PackedSource(str(out), 32, 16)
+    ref = SyntheticSource(12, 32, 16)
+    assert len(packed) == 12
+    for i in (0, 5, 11):
+        pi, pm = packed.load(i)
+        ri, rm = ref.load(i)
+        np.testing.assert_array_equal(pi, ri)
+        np.testing.assert_array_equal(pm, rm)
+
+    with pytest.raises(ValueError, match="re-pack"):
+        PackedSource(str(out), 64, 32)
+
+    # end-to-end: the pipeline trains from a packed source
+    cfg = DatasetSourceConfig(kind="packed", packed_dir=str(out), weight=1.0)
+    src = build_source(cfg, 32, 16)
+    from tpuseg.data.pipeline import InputPipeline
+
+    pipe = InputPipeline(
+        CombinedDataset([src]), batch_size=4, height=16, width=32, seed=0
+    )
+    batches = list(pipe.train_batches(2))
+    assert len(batches) == 2 and batches[0][0].shape == (4, 16, 32, 3)

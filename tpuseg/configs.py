@@ -43,12 +43,15 @@ class ModelConfig:
 class DatasetSourceConfig:
     """One data source (BDD100K / CARLA / SEAME). ``kind`` selects the loader."""
 
-    kind: str = ""                       # "bdd100k" | "carla" | "seame" | "synthetic"
+    kind: str = ""     # "bdd100k" | "carla" | "seame" | "synthetic" | "packed"
     img_dir: str = ""
     mask_dir: str = ""                   # bdd100k/carla
     annotation_file: str = ""            # seame (JSON-lines polygons)
     weight: float = 0.0                  # target sampling fraction (see mix below)
     num_samples: int = 64                # synthetic only
+    # "packed": a tools/pack_dataset.py output dir (pre-decoded memmap —
+    # zero host decode at train time)
+    packed_dir: str = ""
 
 
 @dataclass

@@ -233,6 +233,49 @@ class SyntheticSource:
         return image, mask
 
 
+class PackedSource:
+    """Memory-mapped pre-decoded dataset (tools/pack_dataset.py output).
+
+    The decode + remap + resize work is done ONCE, offline; at train time
+    ``load`` is a memmap slice copy — no cv2, no warm-up epoch, and the OS
+    page cache (not the process) holds the bytes. This is the TPU-native
+    answer to a decode-bound host (BASELINE.md: 1-core decode caps
+    end-to-end training; the reference instead re-decodes per epoch in
+    DataLoader workers, main.py:90-95). Layout: ``images.npy`` uint8
+    [N,H,W,3] RGB, ``masks.npy`` uint8 [N,H,W], ``meta.json``.
+    """
+
+    def __init__(self, packed_dir: str, width: int, height: int):
+        meta_path = os.path.join(packed_dir, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta["width"], meta["height"]) != (width, height):
+            raise ValueError(
+                f"packed dataset {packed_dir!r} is {meta['width']}x"
+                f"{meta['height']}, pipeline wants {width}x{height} — "
+                "re-pack with tools/pack_dataset.py at the target size"
+            )
+        self.images = np.load(
+            os.path.join(packed_dir, "images.npy"), mmap_mode="r"
+        )
+        self.masks = np.load(
+            os.path.join(packed_dir, "masks.npy"), mmap_mode="r"
+        )
+        if len(self.images) != len(self.masks):
+            raise ValueError(
+                f"packed dataset {packed_dir!r}: {len(self.images)} images "
+                f"vs {len(self.masks)} masks"
+            )
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        # np.array() materializes the memmap slice (the batch assembler
+        # writes into its own buffer, so this copy is the only host work)
+        return np.array(self.images[idx]), np.array(self.masks[idx])
+
+
 def build_source(cfg: DatasetSourceConfig, width: int, height: int):
     if cfg.kind == "bdd100k":
         return BDD100KSource(cfg.img_dir, cfg.mask_dir, width, height)
@@ -242,4 +285,6 @@ def build_source(cfg: DatasetSourceConfig, width: int, height: int):
         return SEAMESource(cfg.img_dir, cfg.annotation_file, width, height)
     if cfg.kind == "synthetic":
         return SyntheticSource(cfg.num_samples, width, height)
+    if cfg.kind == "packed":
+        return PackedSource(cfg.packed_dir, width, height)
     raise KeyError(f"unknown source kind {cfg.kind!r}")
