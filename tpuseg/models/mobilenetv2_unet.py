@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tpuseg.models.blocks import OutConv, Up
@@ -48,22 +49,29 @@ class MobileNetV2UNet(nn.Module):
         dt = self.dtype
         up = self.use_pallas
         sp = self.up_subpixel
-        x1, x2, x3, x4, x5 = MobileNetV2Encoder(
-            width_mult=self.width_mult,
-            dtype=dt,
-            stem_s2d=self.stem_s2d,
-            name="backbone",
-        )(x, train)
-        y = Up(256, dtype=dt, use_pallas=up, subpixel=sp, name="up1")(
-            x5, x4, train)
-        y = Up(128, dtype=dt, use_pallas=up, subpixel=sp, name="up2")(
-            y, x3, train)
-        y = Up(64, dtype=dt, use_pallas=up, subpixel=sp, name="up3")(
-            y, x2, train)
-        y = Up(32, dtype=dt, use_pallas=up, subpixel=sp, name="up4")(
-            y, x1, train)
-        y = OutConv(self.output_channels, dtype=dt, name="outc")(y, train)
-        if not self.upsample_head:
-            return y.astype(jnp.float32)
-        # final x2, align_corners=True (src/unet.py:30)
-        return upsample2x_bilinear(y.astype(jnp.float32), align_corners=True)
+        # named_scopes label the profiler trace (SURVEY.md §5.1) — they are
+        # metadata only and change neither params nor numerics
+        with jax.named_scope("encoder"):
+            x1, x2, x3, x4, x5 = MobileNetV2Encoder(
+                width_mult=self.width_mult,
+                dtype=dt,
+                stem_s2d=self.stem_s2d,
+                name="backbone",
+            )(x, train)
+        with jax.named_scope("decoder"):
+            y = Up(256, dtype=dt, use_pallas=up, subpixel=sp, name="up1")(
+                x5, x4, train)
+            y = Up(128, dtype=dt, use_pallas=up, subpixel=sp, name="up2")(
+                y, x3, train)
+            y = Up(64, dtype=dt, use_pallas=up, subpixel=sp, name="up3")(
+                y, x2, train)
+            y = Up(32, dtype=dt, use_pallas=up, subpixel=sp, name="up4")(
+                y, x1, train)
+        with jax.named_scope("head"):
+            y = OutConv(self.output_channels, dtype=dt, name="outc")(y, train)
+            if not self.upsample_head:
+                return y.astype(jnp.float32)
+            # final x2, align_corners=True (src/unet.py:30)
+            return upsample2x_bilinear(
+                y.astype(jnp.float32), align_corners=True
+            )
