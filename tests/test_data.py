@@ -297,3 +297,36 @@ def test_packed_dataset_roundtrip(tmp_path):
     )
     batches = list(pipe.train_batches(2))
     assert len(batches) == 2 and batches[0][0].shape == (4, 16, 32, 3)
+
+
+def test_packed_fast_path_equals_slow_path(tmp_path):
+    """The batched gather fast path produces the identical batch stream as
+    the per-sample path (forced via cache_bytes, which disables it)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "packed"
+    subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "pack_dataset.py"),
+         "--kind", "synthetic", "--num_samples", "16",
+         "--out", str(out), "--width", "32", "--height", "16"],
+        capture_output=True, text=True, timeout=300, check=True,
+    )
+    from tpuseg.data.pipeline import InputPipeline
+
+    def make(cache_bytes):
+        src = build_source(
+            DatasetSourceConfig(kind="packed", packed_dir=str(out)), 32, 16
+        )
+        return InputPipeline(
+            CombinedDataset([src]), batch_size=4, height=16, width=32,
+            seed=0, cache_bytes=cache_bytes,
+        )
+
+    fast, slow = make(0), make(1 << 20)
+    for (xa, ya), (xb, yb) in zip(
+        fast.train_batches(4), slow.train_batches(4)
+    ):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))

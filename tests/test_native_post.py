@@ -93,3 +93,20 @@ def test_colorize_and_blend(rng):
     ours = native_post.blend(a, b, 0.4)
     # addWeighted uses round-half-away; allow off-by-one at rounding edges
     assert int(np.abs(ours.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_native_gather_matches_numpy(tmp_path):
+    """libtpuseg_loader gather2 == numpy fancy indexing, bytes-exact."""
+    from tpuseg.ops import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    rng = np.random.RandomState(0)
+    images = np.ascontiguousarray(rng.randint(0, 255, (10, 6, 8, 3), np.uint8))
+    masks = np.ascontiguousarray(rng.randint(0, 9, (10, 6, 8), np.uint8))
+    idx = np.asarray([7, 0, 3, 3, 9], np.int64)
+    img_out = np.empty((5, 6, 8, 3), np.uint8)
+    msk_out = np.empty((5, 6, 8), np.uint8)
+    native_loader.gather2(images, masks, idx, img_out, msk_out)
+    np.testing.assert_array_equal(img_out, images[idx])
+    np.testing.assert_array_equal(msk_out, masks[idx])

@@ -106,6 +106,33 @@ class InputPipeline:
     def _assemble(self, picks) -> Tuple[np.ndarray, np.ndarray]:
         imgs = np.empty((self.batch_size, self.height, self.width, 3), np.uint8)
         msks = np.empty((self.batch_size, self.height, self.width), np.uint8)
+        # Batched fast path: sources exposing load_batch (the packed memmap
+        # format) gather each sid's picks in ONE native/numpy call instead
+        # of a Python per-sample loop. The cache path skips this (caching a
+        # memmap-backed source is pointless).
+        if self._cache is None and all(
+            hasattr(self.combined.sources[sid], "load_batch")
+            for sid, _ in picks
+        ):
+            order = np.arange(self.batch_size)
+            sids = np.asarray([sid for sid, _ in picks])
+            for sid in np.unique(sids):
+                rows = order[sids == sid]
+                abs_idx = np.asarray(
+                    [int(self.combined.train_indices[sid][picks[r][1]])
+                     for r in rows], np.int64,
+                )
+                if np.array_equal(rows, order):  # single source: direct
+                    self.combined.sources[sid].load_batch(
+                        abs_idx, imgs, msks
+                    )
+                else:
+                    ti = np.empty((len(rows), *imgs.shape[1:]), np.uint8)
+                    tm = np.empty((len(rows), *msks.shape[1:]), np.uint8)
+                    self.combined.sources[sid].load_batch(abs_idx, ti, tm)
+                    imgs[rows] = ti
+                    msks[rows] = tm
+            return imgs, msks
         i = 0
 
         def load(sid, pos):

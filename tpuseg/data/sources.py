@@ -275,6 +275,25 @@ class PackedSource:
         # writes into its own buffer, so this copy is the only host work)
         return np.array(self.images[idx]), np.array(self.masks[idx])
 
+    def load_batch(
+        self,
+        indices: np.ndarray,
+        img_out: np.ndarray,
+        msk_out: np.ndarray,
+    ) -> None:
+        """Gather a whole batch in one call — native GIL-free memcpy when
+        ``native/libtpuseg_loader.so`` is built, numpy fancy-index copy
+        otherwise (identical bytes either way)."""
+        from tpuseg.ops import native_loader
+
+        if native_loader.available():
+            native_loader.gather2(
+                self.images, self.masks, indices, img_out, msk_out
+            )
+        else:
+            img_out[:] = self.images[indices]
+            msk_out[:] = self.masks[indices]
+
 
 def build_source(cfg: DatasetSourceConfig, width: int, height: int):
     if cfg.kind == "bdd100k":

@@ -1,0 +1,78 @@
+"""ctypes bindings for the native batch loader (native/loader.cpp).
+
+One GIL-free memcpy gather per batch from the packed dataset's memmaps,
+replacing the Python per-sample loop (memmap slice -> copy -> buffer
+store). On the one-core host this keeps the producer thread from
+contending with the consumer for the interpreter. ``available()`` is
+False when the library hasn't been built (``make -C native``); callers
+fall back to numpy with identical output.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_LIB_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                 "libtpuseg_loader.so"),
+    os.path.join(os.path.dirname(__file__), "libtpuseg_loader.so"),
+)
+
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    for p in _LIB_PATHS:
+        if os.path.exists(p):
+            lib = ctypes.CDLL(os.path.abspath(p))
+            lib.tpuseg_gather2.restype = ctypes.c_int64
+            lib.tpuseg_gather2.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,   # img src, bytes/sample
+                ctypes.c_void_p, ctypes.c_int64,   # msk src, bytes/sample
+                _i64p, ctypes.c_int64,             # indices, n
+                _u8p, _u8p,                        # img out, msk out
+            ]
+            _LIB = lib
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def gather2(
+    images: np.ndarray,
+    masks: np.ndarray,
+    indices: np.ndarray,
+    img_out: np.ndarray,
+    msk_out: np.ndarray,
+) -> None:
+    """Copy images[indices] -> img_out and masks[indices] -> msk_out.
+
+    ``images``/``masks`` may be np.memmap; outputs must be C-contiguous
+    uint8 with the batch as the leading dim.
+    """
+    lib = _load()
+    n = int(indices.shape[0])
+    img_bytes = int(np.prod(images.shape[1:]))
+    msk_bytes = int(np.prod(masks.shape[1:]))
+    idx = np.ascontiguousarray(indices, np.int64)
+    # ctypes.c_void_p from the memmap's buffer (no copy)
+    img_src = images.ctypes.data if hasattr(images, "ctypes") else None
+    msk_src = masks.ctypes.data
+    lib.tpuseg_gather2(
+        img_src, img_bytes, msk_src, msk_bytes, idx, n, img_out, msk_out
+    )
