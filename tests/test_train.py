@@ -449,3 +449,70 @@ def test_resume_with_different_steps_per_dispatch(tmp_path):
     hist = t2.train()
     assert t2.epoch == 2 and t2.step == 6  # nothing re-run
     assert hist == []
+
+
+def test_preemption_checkpoints_and_resumes_mid_epoch(tmp_path):
+    """SIGTERM-style preemption: checkpoint lands after the last completed
+    dispatch group; resume continues the PARTIAL epoch (no replay, no skip)
+    and finishes with exactly steps_per_epoch steps."""
+    from tpuseg.train.trainer import Trainer
+
+    base = [
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=6", "--train.lr=1e-3",
+        f"--train.checkpoint_dir={tmp_path}/ck",
+        "--train.log_every=0", "--train.eval_every_epochs=0",
+    ]
+    cfg = load_config(base)
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+    )
+    t = Trainer(cfg)
+    orig_step, calls = t.train_step, []
+
+    def counting_step(*a, **kw):
+        out = orig_step(*a, **kw)
+        calls.append(1)
+        if len(calls) == 3:  # the signal handler firing mid-epoch
+            t._preempted = True
+        return out
+
+    t.train_step = counting_step
+    hist = t.train()
+    assert t.step == 3 and t.epoch == 0
+    assert hist == []  # the epoch did not complete
+
+    cfg2 = load_config(base + ["--train.resume=true"])
+    cfg2.data.sources = cfg.data.sources
+    t2 = Trainer(cfg2)
+    hist2 = t2.train()
+    assert t2.step == 6 and t2.epoch == 1  # exactly the remaining 3 steps
+    assert len(hist2) == 1 and np.isfinite(hist2[0]["train_loss"])
+
+
+def test_sigterm_handler_sets_flag():
+    """The installed SIGTERM handler flips _preempted (main thread only)."""
+    import os
+    import signal
+
+    from tpuseg.train.trainer import Trainer
+
+    cfg = load_config([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.steps_per_epoch=1",
+        "--train.checkpoint_dir=", "--train.log_every=0",
+    ])
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=8, weight=1.0),
+    )
+    t = Trainer(cfg)
+    t._preempted = False
+    restore = t._install_preemption_handler()
+    try:
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert t._preempted is True  # handled, process still alive
+    finally:
+        restore()

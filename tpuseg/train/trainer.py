@@ -314,9 +314,32 @@ class Trainer:
             return self.cfg.train.steps_per_epoch
         return max(1, self.combined.train_size // self.cfg.train.batch_size)
 
+    def _install_preemption_handler(self):
+        """SIGTERM -> finish the in-flight dispatch group, checkpoint, exit
+        cleanly (SURVEY.md §5.3). Preemptible/spot TPUs get a SIGTERM grace
+        window; the reference loses all progress since its last epoch-end
+        torch.save. Returns a restore callback (signals only bind in the
+        main thread; elsewhere this is a no-op)."""
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return lambda: None
+        prev = signal.getsignal(signal.SIGTERM)
+
+        def handler(signum, frame):
+            self._preempted = True
+            log.warning("SIGTERM: will checkpoint and stop after the "
+                        "current dispatch group")
+
+        signal.signal(signal.SIGTERM, handler)
+        return lambda: signal.signal(signal.SIGTERM, prev)
+
     def train(self, epochs: Optional[int] = None) -> List[Dict]:
         cfg = self.cfg.train
         epochs = epochs if epochs is not None else cfg.epochs
+        self._preempted = False
+        restore_signal = self._install_preemption_handler()
         k = self.steps_per_dispatch
         # round steps/epoch up to a whole number of dispatch groups
         spe = -(-self.steps_per_epoch() // k) * k
@@ -334,13 +357,22 @@ class Trainer:
                 t0 = time.perf_counter()
                 losses = []
                 pending = None  # one-step-lagged loss fetch
-                batches = self.pipeline.train_batches(spe)
+                # A mid-epoch (preemption) checkpoint resumes INTO the
+                # partial epoch: run only the remaining dispatch groups.
+                done = 0
+                if epoch == start_epoch:
+                    done = min(max(0, self.step - epoch * spe), spe)
+                    done -= done % k  # whole dispatch groups only
+                steps_this = spe - done
+                if steps_this <= 0:
+                    continue
+                batches = self.pipeline.train_batches(steps_this)
                 if cfg.progress:
                     try:
                         from tqdm import tqdm
 
                         batches = tqdm(
-                            batches, total=spe,
+                            batches, total=steps_this,
                             desc=f"epoch {epoch + 1}/{epochs}",
                         )
                     except ImportError:  # pragma: no cover
@@ -380,13 +412,27 @@ class Trainer:
                         log.info(
                             "step %d | loss %.4f", self.step, losses[-1]
                         )
+                    if self._preempted:
+                        break
+                if self._preempted:
+                    # mid-epoch checkpoint: step/sampler state land exactly
+                    # after the last completed dispatch group, so resume
+                    # replays nothing and skips nothing
+                    self.save_checkpoint(force=True)
+                    if self.ckpt is not None:
+                        self.ckpt.wait()
+                    log.warning(
+                        "preempted at step %d — checkpoint saved, exiting",
+                        self.step,
+                    )
+                    break
                 if pending is not None:
                     losses.extend(
                         np.atleast_1d(np.asarray(pending["loss"])).tolist()
                     )
                 dt = time.perf_counter() - t0
                 self.epoch = epoch + 1  # completed; saved with checkpoints
-                imgs_sec = spe * cfg.batch_size / max(dt, 1e-9)
+                imgs_sec = steps_this * cfg.batch_size / max(dt, 1e-9)
                 rec = {
                     "epoch": epoch + 1,
                     "step": self.step,
@@ -420,6 +466,7 @@ class Trainer:
                 if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
                     self.save_checkpoint()
         finally:
+            restore_signal()
             if profiling:
                 jax.profiler.stop_trace()
             if self.ckpt is not None:
