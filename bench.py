@@ -211,9 +211,9 @@ HISTORY = os.environ.get(
 )
 
 
-def _history_best() -> float:
-    """Best real (non-stale) fps recorded for the default config."""
-    best = 0.0
+def _history_records() -> list:
+    """Parsed bench_history.json lines (skips blanks and bad JSON)."""
+    recs = []
     if os.path.exists(HISTORY):
         with open(HISTORY) as f:
             for line in f:
@@ -221,13 +221,20 @@ def _history_best() -> float:
                 if not line:
                     continue
                 try:
-                    rec = json.loads(line)
+                    recs.append(json.loads(line))
                 except json.JSONDecodeError:
                     continue
-                if rec.get("stale") or rec.get("config"):
-                    continue
-                if rec.get("metric", "").startswith("mobilenetv2_unet_infer"):
-                    best = max(best, float(rec.get("value", 0.0)))
+    return recs
+
+
+def _history_best() -> float:
+    """Best real (non-stale) fps recorded for the default config."""
+    best = 0.0
+    for rec in _history_records():
+        if rec.get("stale") or rec.get("config"):
+            continue
+        if rec.get("metric", "").startswith("mobilenetv2_unet_infer"):
+            best = max(best, float(rec.get("value", 0.0)))
     return best
 
 
@@ -286,16 +293,12 @@ def main() -> None:
     # config equality, not config absence), marked stale
     expected = _record({"fps": 0.0})
     last = None
-    if os.path.exists(HISTORY):
-        with open(HISTORY) as f:
-            lines = [l for l in f.read().splitlines() if l.strip()]
-        for line in reversed(lines):
-            rec = json.loads(line)
-            if (not rec.get("stale")
-                    and rec.get("config") == expected.get("config")
-                    and rec.get("metric") == expected["metric"]):
-                last = rec
-                break
+    for rec in reversed(_history_records()):
+        if (not rec.get("stale")
+                and rec.get("config") == expected.get("config")
+                and rec.get("metric") == expected["metric"]):
+            last = rec
+            break
     if last:
         print(json.dumps(_record(
             {"fps": last["value"], "tflops": last.get("tflops", 0.0),

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import OrderedDict
 from typing import Iterator, Optional, Tuple
 
 import jax
@@ -41,11 +42,9 @@ class SampleCache:
     """
 
     def __init__(self, budget_bytes: int):
-        from collections import OrderedDict
-
         self.budget = int(budget_bytes)
         self.used = 0
-        self._d: "OrderedDict" = OrderedDict()
+        self._d: OrderedDict = OrderedDict()
 
     def get(self, key, loader):
         hit = self._d.get(key)

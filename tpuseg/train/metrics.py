@@ -50,8 +50,8 @@ def confusion_matrix(
         return cm_of(t, p)
     n_chunks = -(-n // max_exact)
     pad = n_chunks * max_exact - n
-    # pad with class index `num_classes` rows? one_hot of an out-of-range
-    # index is all-zero, so padding with `num_classes` adds nothing.
+    # padding uses class index `num_classes`: one_hot of an out-of-range
+    # index is all-zero, so padded elements contribute nothing.
     t = jnp.pad(t, (0, pad), constant_values=num_classes)
     p = jnp.pad(p, (0, pad), constant_values=num_classes)
     cms = jax.vmap(cm_of)(

@@ -46,6 +46,12 @@ from tpuseg.train.train_step import (
     make_train_step,
 )
 
+
+def _loss_list(x) -> list:
+    """Scalar (single-step) or [k]-vector (multi-step) loss -> python list."""
+    return np.atleast_1d(np.asarray(x)).tolist()
+
+
 log = logging.getLogger(__name__)
 
 
@@ -400,9 +406,7 @@ class Trainer:
                     # one-dispatch-lagged loss fetch: the device runs the
                     # next group while the host fetches this one's losses
                     if pending is not None:
-                        losses.extend(
-                            np.atleast_1d(np.asarray(pending["loss"])).tolist()
-                        )
+                        losses.extend(_loss_list(pending["loss"]))
                     pending = metrics
                     if (
                         cfg.log_every
@@ -427,9 +431,7 @@ class Trainer:
                     )
                     break
                 if pending is not None:
-                    losses.extend(
-                        np.atleast_1d(np.asarray(pending["loss"])).tolist()
-                    )
+                    losses.extend(_loss_list(pending["loss"]))
                 dt = time.perf_counter() - t0
                 self.epoch = epoch + 1  # completed; saved with checkpoints
                 imgs_sec = steps_this * cfg.batch_size / max(dt, 1e-9)
