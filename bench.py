@@ -5,8 +5,10 @@ Prints ONE JSON line:
      "tflops": N, "mfu_pct": N}
 
 Metric: MobileNetV2UNet (the reference's production model) forward + argmax
-at 512x512, bf16 compute, batch 128 — the BASELINE.md north-star config
-(batch swept on-chip: 64/128/256 -> 1357.7/1765.9/1742.9 fps).
+at 512x512, bf16 compute, batch 256 — the BASELINE.md north-star config.
+Batch swept on-chip twice: pre-subpixel 64/128/256 -> 1357.7/1765.9/1742.9
+(128 best); with the subpixel decoder 128/256 -> 2208.5/2257.3 back-to-back
+(256 best by +2.2%).
 
 Measurement method: the forward is chained N times inside one jitted
 ``lax.scan`` with a data dependency between iterations, and the final scalar
@@ -54,9 +56,9 @@ PEAK_BF16_TFLOPS = 197.0
 # when cost_analysis is available on the backend, this is the fallback).
 FLOPS_PER_FRAME_512_FALLBACK = 24.0e9
 
-# Batch sweep on-chip (bench_history.json): 64 -> 1357.7 fps, 128 -> 1765.9,
-# 256 -> 1742.9. 128 is the throughput knee; it is the headline config.
-DEFAULT_BATCH = 128
+# Batch sweep on-chip (bench_history.json): with the subpixel decoder the
+# knee moved from 128 to 256 (2208.5 vs 2257.3 back-to-back, 2026-08-17).
+DEFAULT_BATCH = 256
 BATCH = int(os.environ.get("TPUSEG_BENCH_BATCH", str(DEFAULT_BATCH)))
 # TPUSEG_BENCH_SIZE="WxH" overrides the input size (e.g. "256x128", the
 # reference's native input). Non-default sizes are tagged in "config" so

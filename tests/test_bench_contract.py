@@ -77,7 +77,7 @@ def test_watchdog_stale_fallback_is_per_metric(monkeypatch, tmp_path):
          "value": 77.0,
          "config": {"s2d": False, "pallas": False, "int8": False,
                     "foldbn": False, "subpix": True, "fused_head": False,
-                    "batch": 128, "size": "64x32"}},
+                    "batch": 256, "size": "64x32"}},
     ]
     hist.write_text("\n".join(json.dumps(l) for l in lines) + "\n")
 
