@@ -76,6 +76,10 @@ SUBPIX = os.environ.get("TPUSEG_BENCH_SUBPIX", "1") == "1"  # default ON
 # Fused final-upsample+argmax Pallas kernel (upsample2x_argmax): the
 # full-resolution logits never reach HBM. Same exact classes.
 FUSED_HEAD = os.environ.get("TPUSEG_BENCH_FUSED_HEAD", "0") == "1"
+# Pure-XLA phase-decomposed head (upsample2x_argmax_head): four elementwise
+# phase lerps each fused into its own argmax — full-res fp32 logits never
+# reach HBM either, without Pallas. Same exact classes.
+XLA_HEAD = os.environ.get("TPUSEG_BENCH_XLA_HEAD", "0") == "1"
 
 
 def _flops_per_frame(fwd, variables, x) -> float:
@@ -101,6 +105,19 @@ def _measure() -> dict:
     platform = os.environ.get("TPUSEG_BENCH_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    # Persistent XLA compilation cache: a fresh `python bench.py` process
+    # reuses the compiled program instead of paying the full model compile
+    # every run — the round-1 driver bench timed out twice on exactly that
+    # cold-compile cost (VERDICT r1). The warmed cache ships in-repo.
+    cache_dir = os.environ.get(
+        "TPUSEG_BENCH_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_cache"),
+    )
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
@@ -113,13 +130,18 @@ def _measure() -> dict:
         use_pallas=PALLAS,
         stem_s2d=S2D,
         up_subpixel=SUBPIX,
-        upsample_head=not FUSED_HEAD,
+        upsample_head=not (FUSED_HEAD or XLA_HEAD),
     )
     if FUSED_HEAD:
         from tpuseg.ops.pallas_kernels import upsample2x_argmax
 
         def classes_of(params, x):
             return upsample2x_argmax(model.apply(params, x, train=False))
+    elif XLA_HEAD:
+        from tpuseg.ops.resize import upsample2x_argmax_head
+
+        def classes_of(params, x):
+            return upsample2x_argmax_head(model.apply(params, x, train=False))
     else:
         def classes_of(params, x):
             return jnp.argmax(model.apply(params, x, train=False), axis=-1)
@@ -179,7 +201,8 @@ def _measure() -> dict:
 
 def _config_tag() -> dict:
     return {"s2d": S2D, "pallas": PALLAS, "int8": INT8, "foldbn": FOLDBN,
-            "subpix": SUBPIX, "fused_head": FUSED_HEAD, "batch": BATCH,
+            "subpix": SUBPIX, "fused_head": FUSED_HEAD,
+            "xla_head": XLA_HEAD, "batch": BATCH,
             "size": f"{WIDTH}x{HEIGHT}"}
 
 
@@ -192,6 +215,12 @@ def _record(m: dict, stale: bool = False) -> dict:
         "vs_baseline": round(m["fps"] / ref_fps, 1),
         "tflops": round(m.get("tflops", 0.0), 2),
         "mfu_pct": round(m.get("mfu_pct", 0.0), 2),
+        # batch/size ALWAYS recorded top-level so history filtering never
+        # conflates configs when a default changes (ADVICE r1 item 2: the
+        # 128->256 default switch made old untagged batch-128 records look
+        # current; history is retro-tagged and filters match on these)
+        "batch": BATCH,
+        "size": f"{WIDTH}x{HEIGHT}",
     }
     if m.get("runs"):
         rec["runs"] = m["runs"]
@@ -199,11 +228,31 @@ def _record(m: dict, stale: bool = False) -> dict:
         rec["stale"] = True
     cfg = _config_tag()
     if any(
-        cfg[k] for k in ("s2d", "pallas", "int8", "foldbn", "fused_head")
+        cfg[k]
+        for k in ("s2d", "pallas", "int8", "foldbn", "fused_head", "xla_head")
     ) or not cfg["subpix"] or cfg["batch"] != DEFAULT_BATCH \
             or (WIDTH, HEIGHT) != DEFAULT_SIZE:
         rec["config"] = cfg
     return rec
+
+
+def _ab_toggles(rec: dict) -> tuple:
+    """Normalized A/B toggle state of a record (defaults when untagged)."""
+    cfg = rec.get("config") or {}
+    return tuple(
+        bool(cfg.get(k))
+        for k in ("s2d", "pallas", "int8", "foldbn", "fused_head", "xla_head")
+    ) + (bool(cfg.get("subpix", True)),)
+
+
+def _same_measurement(rec: dict, expected: dict) -> bool:
+    """Same metric, same batch, same size, same A/B toggles."""
+    return (
+        rec.get("metric") == expected["metric"]
+        and rec.get("batch") == expected["batch"]
+        and rec.get("size") == expected["size"]
+        and _ab_toggles(rec) == _ab_toggles(expected)
+    )
 
 
 HISTORY = os.environ.get(
@@ -230,75 +279,99 @@ def _history_records() -> list:
 
 
 def _history_best() -> float:
-    """Best real (non-stale) fps recorded for the default config."""
+    """Best real (non-stale) fps recorded for the CURRENT config
+    (same batch, size, and A/B toggles — retro-tagged history included)."""
+    expected = _record({"fps": 0.0})
     best = 0.0
     for rec in _history_records():
-        if rec.get("stale") or rec.get("config"):
+        if rec.get("stale") or not _same_measurement(rec, expected):
             continue
-        if rec.get("metric", "").startswith("mobilenetv2_unet_infer"):
-            best = max(best, float(rec.get("value", 0.0)))
+        best = max(best, float(rec.get("value", 0.0)))
     return best
 
 
-def main() -> None:
-    """Measure with a subprocess watchdog.
+def _child() -> None:
+    """Measure, append the record to history, print the JSON line.
 
-    The remote TPU tunnel can wedge indefinitely if a prior client died
-    mid-execution; a hung bench would stall the whole round. The measurement
-    runs in a child process with a timeout; on failure the last recorded
-    real measurement is reported with an explicit "stale": true marker.
+    History is written by the CHILD so that a run the parent watchdog gave
+    up waiting for still records its (real) measurement once it finishes —
+    the next invocation's stale fallback then reports it instead of an
+    older number."""
+    rec = _record(_measure())
+    best = _history_best()
+    if best > 0 and rec["value"] < 0.8 * best:
+        rec["regression_from_best"] = best
+        print(
+            f"WARNING: fps {rec['value']} < 0.8x historical best {best} "
+            "— perf regression", file=sys.stderr,
+        )
+    with open(HISTORY, "a") as f:
+        f.write(json.dumps({**rec, "t": time.time()}) + "\n")
+    print(json.dumps(rec))
+
+
+def main() -> None:
+    """Measure in a child process behind a NON-KILLING watchdog.
+
+    The round-1 failure mode, twice over: the driver's fresh bench blew the
+    480 s watchdog on cold compile + the tunnel's first-dispatch cost
+    (~160-350 s measured), and the watchdog's kill() landed mid-TPU-execution
+    and wedged the chip for hours (CLAUDE.md's own never-kill rule). So:
+
+    - ONE long attempt (default 2400 s; the persistent compile cache in
+      _measure keeps warm runs far under that);
+    - on timeout the child is ABANDONED, never killed: the parent prints the
+      last real same-config measurement marked "stale": true and exits,
+      while the child runs to completion in the background and appends its
+      real record to bench_history.json for the next caller.
     """
     import subprocess
+    import tempfile
 
     if os.environ.get("TPUSEG_BENCH_CHILD"):
-        print(json.dumps(_record(_measure())))
+        _child()
         return
 
     env = dict(os.environ, TPUSEG_BENCH_CHILD="1")
-    # First compile of a fresh (size, batch) config can exceed the default
-    # through the remote tunnel; killing the child mid-EXECUTION can wedge
-    # the chip, so prefer raising this over re-running a timed-out config.
-    watchdog_s = int(os.environ.get("TPUSEG_BENCH_TIMEOUT", "480"))
-    for attempt in range(2):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=watchdog_s,
+    watchdog_s = int(os.environ.get("TPUSEG_BENCH_TIMEOUT", "2400"))
+    out_file = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".bench.json", delete=False
+    )
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=out_file, stderr=sys.stderr,
+        start_new_session=True,  # survives parent exit (abandon, not kill)
+    )
+    try:
+        child.wait(timeout=watchdog_s)
+        out_file.seek(0)
+        for line in out_file.read().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                print(line)
+                return
+        print("bench child produced no record", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        if os.environ.get("TPUSEG_BENCH_PLATFORM") == "cpu":
+            # a CPU child cannot wedge a chip — reap it (tests use this)
+            child.kill()
+            child.wait()
+            print(f"bench timed out after {watchdog_s}s (cpu child killed)",
+                  file=sys.stderr)
+        else:
+            print(
+                f"bench timed out after {watchdog_s}s — child left running "
+                "(never kill mid-TPU-execution); reporting last real "
+                "measurement as stale", file=sys.stderr,
             )
-            for line in out.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    rec = json.loads(line)
-                    best = _history_best()
-                    if (
-                        not rec.get("config")
-                        and best > 0
-                        and rec["value"] < 0.8 * best
-                    ):
-                        rec["regression_from_best"] = best
-                        print(
-                            f"WARNING: fps {rec['value']} < 0.8x historical "
-                            f"best {best} — perf regression",
-                            file=sys.stderr,
-                        )
-                    with open(HISTORY, "a") as f:
-                        f.write(json.dumps(
-                            {**rec, "t": time.time(), "attempt": attempt}
-                        ) + "\n")
-                    print(json.dumps(rec))
-                    return
-        except subprocess.TimeoutExpired:
-            print(f"bench attempt {attempt} timed out", file=sys.stderr)
-    # both attempts failed: report the last real measurement FOR THIS exact
-    # config (a non-default size/config must not resurface under another's
-    # number — non-default records always carry a "config" tag, so match on
-    # config equality, not config absence), marked stale
+    finally:
+        out_file.close()
+    # Timed out (or no record): report the last real measurement for THIS
+    # exact (batch, size, A/B-toggle) measurement, marked stale.
     expected = _record({"fps": 0.0})
     last = None
     for rec in reversed(_history_records()):
-        if (not rec.get("stale")
-                and rec.get("config") == expected.get("config")
-                and rec.get("metric") == expected["metric"]):
+        if not rec.get("stale") and _same_measurement(rec, expected):
             last = rec
             break
     if last:

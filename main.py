@@ -78,6 +78,24 @@ def main(argv=None) -> int:
                 DatasetSourceConfig(kind="synthetic", num_samples=256, weight=1.0),
             )
 
+    if (
+        cfg.model.name == "mobilenetv2_unet"
+        and not cfg.train.init_checkpoint
+        and not cfg.train.resume
+    ):
+        # The reference starts from a torchvision ImageNet-PRETRAINED
+        # encoder (src/unet.py:12, mobilenet_v2(pretrained=True)); training
+        # from random init converges slower and to lower mIoU. The import
+        # path is ready — only the artifact needs to be provided.
+        print(
+            "WARNING: training MobileNetV2UNet from RANDOM init. The "
+            "reference uses an ImageNet-pretrained encoder; to match it, "
+            "convert a torchvision checkpoint once:\n"
+            "    python tools/import_pretrained.py --pth mobilenet_v2.pth "
+            "--out pretrained/mnv2\n"
+            "then pass --train.init_checkpoint=pretrained/mnv2"
+        )
+
     from tpuseg.train.trainer import Trainer
 
     trainer = Trainer(cfg)

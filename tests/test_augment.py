@@ -60,6 +60,34 @@ def test_normalize_matches_formula():
     np.testing.assert_allclose(out[0, 0, 0], expect, rtol=1e-5)
 
 
+def test_augment_off_is_normalize_only(batch):
+    """--data.augment=false = the reference's is_train=False path
+    (src/CombinedDataset.py:123-143): no geometry/color, just normalize."""
+    imgs, masks = batch
+    fn = make_augment_fn(32, 64, augment=False)
+    x, y = fn(imgs, masks, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(normalize_images(imgs)), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(masks))
+    assert y.dtype == jnp.int32
+    # key-independent: identical output under a different key
+    x2, _ = fn(imgs, masks, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+
+
+def test_custom_normalize_mean_std(batch):
+    """data.normalize_mean/std are routed into normalization."""
+    imgs, masks = batch
+    mean, std = (0.5, 0.5, 0.5), (0.25, 0.25, 0.25)
+    fn = make_augment_fn(32, 64, augment=False, mean=mean, std=std)
+    x, _ = fn(imgs, masks, jax.random.PRNGKey(0))
+    expect = (np.asarray(imgs, np.float32) / 255.0 - 0.5) / 0.25
+    np.testing.assert_allclose(np.asarray(x), expect, rtol=1e-4, atol=1e-6)
+    out = np.asarray(normalize_images(imgs, mean, std))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-6)
+
+
 def test_mask_labels_never_interpolated(batch):
     """Nearest mask warp must never invent fractional labels."""
     imgs, _ = batch

@@ -48,16 +48,27 @@ def test_size_override_tags_config(monkeypatch):
     assert rec["config"]["size"] == "256x128"
 
 
-def test_history_best_ignores_config_and_stale(monkeypatch, tmp_path):
+def test_history_best_ignores_config_stale_and_other_batches(
+    monkeypatch, tmp_path
+):
     m = _load(monkeypatch)
     hist = tmp_path / "hist.json"
     lines = [
         {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
-         "value": 2000.0},
+         "value": 2000.0, "batch": 256, "size": "512x512"},
         {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
-         "value": 9000.0, "stale": True},
+         "value": 9000.0, "batch": 256, "size": "512x512", "stale": True},
+        # a different-batch record must NOT count toward the current default
+        # (ADVICE r1 item 2: the 128->256 default switch leak)
+        {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+         "value": 8500.0, "batch": 128, "size": "512x512"},
+        # nor an A/B-toggled one
+        {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+         "value": 8800.0, "batch": 256, "size": "512x512",
+         "config": {"pallas": True, "batch": 256, "size": "512x512"}},
         {"metric": "mobilenetv2_unet_infer_256x128_fps_per_chip",
-         "value": 8000.0, "config": {"size": "256x128"}},
+         "value": 8000.0, "batch": 256, "size": "256x128",
+         "config": {"size": "256x128"}},
     ]
     hist.write_text("\n".join(json.dumps(l) for l in lines) + "\n")
     monkeypatch.setattr(m, "HISTORY", str(hist))
@@ -72,9 +83,10 @@ def test_watchdog_stale_fallback_is_per_metric(monkeypatch, tmp_path):
     hist = tmp_path / "hist.json"
     lines = [
         {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
-         "value": 1234.5, "tflops": 3.0, "mfu_pct": 1.5},
+         "value": 1234.5, "tflops": 3.0, "mfu_pct": 1.5,
+         "batch": 256, "size": "512x512"},
         {"metric": "mobilenetv2_unet_infer_64x32_fps_per_chip",
-         "value": 77.0,
+         "value": 77.0, "batch": 256, "size": "64x32",
          "config": {"s2d": False, "pallas": False, "int8": False,
                     "foldbn": False, "subpix": True, "fused_head": False,
                     "batch": 256, "size": "64x32"}},

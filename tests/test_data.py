@@ -185,6 +185,38 @@ def test_pipeline_skips_unreadable_images(fake_bdd, tmp_path):
         assert bool(jax.numpy.isfinite(images.astype("float32")).all())
 
 
+def test_eval_miou_tool_on_bdd_fixture(fake_bdd):
+    """The north-star mIoU gate, rehearsed (VERDICT r1 missing item 2): a
+    BDD100K-layout dir + checkpoint path -> one JSON line with mIoU, via the
+    production eval path. When real BDD100K data lands, the measurement is
+    exactly this command with the real paths."""
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    import tools.eval_miou as eval_miou
+
+    img_dir, mask_dir = fake_bdd
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = eval_miou.main([
+            "--data_dir", os.path.dirname(img_dir),
+            "--model", "unet", "--base_filters", "4",  # random init smoke
+            "--width", "64", "--height", "32", "--batch", "4",
+        ])
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["n_images"] == 4
+    assert 0.0 <= rec["miou"] <= 1.0
+    assert 0.0 <= rec["pixel_acc"] <= 1.0
+    assert len(rec["iou_per_class"]) == 10
+    # a missing dir fails loudly, not silently
+    assert eval_miou.main(["--data_dir", "/nonexistent"]) == 1
+
+
 def test_sample_cache_exact_and_bounded():
     """Cache hits are byte-identical; eviction keeps usage under budget."""
     from tpuseg.data.pipeline import SampleCache
@@ -218,6 +250,30 @@ def test_sample_cache_exact_and_bounded():
     assert 99 not in cache._d
 
 
+def test_sample_cache_respects_reservation():
+    """Reserved (non-evictable) bytes shrink the insertable headroom: the
+    cache must never sit over budget thrashing against bytes eviction
+    cannot reclaim (ADVICE r1 item 5)."""
+    from tpuseg.data.pipeline import SampleCache
+
+    rng = np.random.RandomState(1)
+    mk = lambda: (rng.randint(0, 255, (4, 4, 3)).astype(np.uint8),
+                  rng.randint(0, 9, (4, 4)).astype(np.uint8))
+    s = mk()
+    per = s[0].nbytes + s[1].nbytes
+    cache = SampleCache(budget_bytes=3 * per)
+    cache.reserved = 2 * per  # e.g. a cached eval pass took 2/3 of budget
+    for i in range(4):
+        cache.get(i, mk)
+    # only one evictable entry fits the remaining headroom
+    assert len(cache._d) == 1
+    assert cache.used + cache.reserved <= cache.budget
+    # reservation larger than the budget: nothing is ever inserted
+    cache.reserved = 4 * per
+    cache.get(99, mk)
+    assert 99 not in cache._d
+
+
 def test_pipeline_cache_identical_batches():
     """cache_bytes on vs off: identical train batch streams (same seed),
     and the eval pass is byte-identical + served from RAM on pass 2."""
@@ -242,9 +298,12 @@ def test_pipeline_cache_identical_batches():
            for x, y, n in cached.eval_batches()]
     assert isinstance(cached._eval_cache, list) and cached._eval_cache
     # the eval cache debits the SAME budget as the sample cache (the
-    # configured cache_bytes is a single total, not two)
+    # configured cache_bytes is a single total, not two) — as RESERVED
+    # (non-evictable) bytes the sample cache's insert path must respect
     eval_bytes = sum(x.nbytes + y.nbytes for x, y, _ in cached._eval_cache)
-    assert cached._cache.used >= eval_bytes
+    assert cached._cache.reserved >= eval_bytes
+    assert (cached._cache.used + cached._cache.reserved
+            <= cached._cache.budget)
     ev2 = [(np.asarray(x), np.asarray(y), n)
            for x, y, n in cached.eval_batches()]
     for (x1, y1, n1), (x2, y2, n2) in zip(ev1, ev2):

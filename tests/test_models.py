@@ -86,6 +86,14 @@ def test_registry():
         build_model(ModelConfig(name="nope"))
 
 
+def test_registry_default_widths():
+    """base_filters=0 (the config default) = each model's reference width:
+    UNet 64 (src/unet.py:125), LightUNet 32 (src/unet.py:149)."""
+    assert build_model(ModelConfig(name="unet")).base_filters == 64
+    assert build_model(ModelConfig(name="light_unet")).base_filters == 32
+    assert build_model(ModelConfig(name="light_unet", base_filters=8)).base_filters == 8
+
+
 def test_stem_space_to_depth_equivalence():
     """stem_s2d is an exact apply-time rewrite of the 3x3 s2 stem."""
     from tpuseg.models.mobilenetv2 import MobileNetV2Encoder

@@ -11,6 +11,7 @@ head, src/unet.py:30) asymmetry.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -22,7 +23,12 @@ from tpuseg.models.unet import UNet  # noqa: E402
 
 
 def _to_numpy_sd(model):
-    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    # .copy(): .numpy() returns a VIEW sharing memory with the torch tensor —
+    # a later in-place opt.step() would silently mutate the "snapshot"
+    return {
+        k: v.detach().cpu().numpy().copy()
+        for k, v in model.state_dict().items()
+    }
 
 
 def _torch_forward(model, x_nchw):
@@ -82,6 +88,120 @@ def test_mobilenetv2_unet_parity(seed):
     out = np.transpose(np.asarray(out), (0, 3, 1, 2))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_training_trajectory_parity():
+    """The reference's per-batch work — zero_grad / forward / CE / backward /
+    Adam step (src/train.py:31-39) — must produce the SAME loss trajectory
+    and the SAME updated parameters here. Identical weights are imported
+    into both frameworks, then 10 Adam steps run on identical batches
+    (augment off, reference hyperparameters lr=1.5e-4 / torch-default betas
+    and eps, main.py:100). This measures optimizer-step + BN-update +
+    CE-gradient parity end-to-end, not just the forward.
+
+    Run in float64 on both sides: in float32 every gradient in a BN network
+    is a cancellation-dominated sum (BN backward forces upstream grads
+    toward zero mean), so element-wise grads carry ~1-20% summation-order
+    noise that Adam's g/sqrt(v) normalization amplifies to +-lr-sized
+    update differences — fp32 param comparison after N Adam steps can only
+    ever be bounded by N*lr, which catches nothing. In f64 the noise floor
+    is ~1e-12, so a tight comparison is meaningful: any semantic mismatch
+    (CE grad, BN train-mode stats, maxpool routing, bilinear backward,
+    Adam bias correction) would show as a >1e-6 divergence."""
+    import optax
+
+    from tpuseg.train.train_step import TrainState, make_train_step
+
+    n_steps, lr = 10, 1.5e-4
+    tm = TorchUNet(output_channels=10, base_filters=8)
+    g = torch.Generator().manual_seed(11)
+    sd = tm.state_dict()
+    for k, v in sd.items():
+        if k.endswith("running_var"):
+            v.uniform_(0.5, 1.5, generator=g)
+        elif v.dtype.is_floating_point:
+            v.uniform_(-0.1, 0.1, generator=g)
+    tm = tm.double()
+
+    init_sd = _to_numpy_sd(tm)  # snapshot BEFORE torch training mutates tm
+
+    rng = np.random.RandomState(11)
+    batches = [
+        (
+            rng.rand(2, 3, 32, 64).astype(np.float64),
+            rng.randint(0, 10, (2, 32, 64)),
+        )
+        for _ in range(n_steps)
+    ]
+
+    # --- torch trajectory (the reference loop, src/train.py:31-39)
+    opt = torch.optim.Adam(tm.parameters(), lr=lr, betas=(0.9, 0.999), eps=1e-8)
+    tm.train()
+    losses_ref = []
+    for x, y in batches:
+        opt.zero_grad()
+        out = tm(torch.from_numpy(x))
+        loss = torch.nn.functional.cross_entropy(out, torch.from_numpy(y))
+        loss.backward()
+        opt.step()
+        losses_ref.append(loss.item())
+
+    # --- tpuseg trajectory from the SAME imported starting weights
+    jax.config.update("jax_enable_x64", True)
+    try:
+        variables = import_state_dict(init_sd, "unet")
+        fm = UNet(output_channels=10, base_filters=8, dtype=jnp.float64)
+        state = TrainState.create(
+            apply_fn=fm.apply,
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            tx=optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
+        )
+        step = make_train_step(donate=False)
+        losses_ours = []
+        for x, y in batches:
+            state, metrics = step(
+                state, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                jnp.asarray(y),
+            )
+            losses_ours.append(float(metrics["loss"]))
+
+        # per-step losses
+        np.testing.assert_allclose(losses_ours, losses_ref, rtol=1e-9)
+
+        # final parameters: import torch's post-training state_dict and
+        # compare tree-wise. The one analytic exception: conv biases feeding
+        # straight into BN have EXACTLY-zero gradient (BN's mean subtraction
+        # cancels them — a reference quirk, nn.Conv2d(bias=True) before BN),
+        # so Adam moves them by g_noise/(|g_noise|+eps) ~ 1e-12/1e-8 = 1e-4
+        # relative-to-lr per step: covered by atol=1e-8 like everything else.
+        import jax.tree_util as jtu
+
+        final_ref = import_state_dict(_to_numpy_sd(tm), "unet")
+        jtu.tree_map_with_path(
+            lambda p, a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8,
+                err_msg=jtu.keystr(p),
+            ),
+            state.params,
+            final_ref["params"],
+        )
+        # BN running means match tightly; running var differs ONLY by
+        # torch's unbiased (n/(n-1)) running-stat convention vs flax's
+        # biased one — n >= 64 at the smallest feature map here, so 2%
+        # relative covers the convention gap while still catching any
+        # momentum/update-order mismatch
+        jtu.tree_map_with_path(
+            lambda p, a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                rtol=2e-2 if "var" in jtu.keystr(p) else 1e-9,
+                atol=1e-10, err_msg=jtu.keystr(p),
+            ),
+            state.batch_stats,
+            final_ref["batch_stats"],
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_bilinear_resize_matches_torch():

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Eval-only entry point: dataset dir + checkpoint -> mIoU (one JSON line).
+
+The north-star metric (BASELINE.md "mIoU on BDD100K val") is one command
+away the moment a real dataset lands on disk:
+
+    python tools/eval_miou.py --data_dir /path/to/bdd100k \
+        --checkpoint checkpoints [--platform cpu]
+
+``--data_dir`` expects the BDD100K layout the reference trains from
+(src/BDD100KDataset.py: images/ + masks/ subdirectories; override with
+--img_dir/--mask_dir, or --kind carla|seame|synthetic for the other
+sources). The checkpoint may be an Orbax dir (main.py output, including
+checkpoints/best), or a torch .pth (the reference's artifact, imported via
+tpuseg.core.torch_import).
+
+Uses the production eval path end-to-end: InputPipeline.eval_batches
+(threaded decode, padded final batch) + make_eval_step (on-device confusion
+matrix) + tpuseg.train.metrics — the same code Trainer.evaluate runs.
+
+Prints ONE JSON line: {"miou": ..., "pixel_acc": ..., "iou_per_class":
+[...], "n_images": N}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", default="",
+                   help="dataset root with images/ + masks/ (bdd100k layout)")
+    p.add_argument("--img_dir", default="")
+    p.add_argument("--mask_dir", default="")
+    p.add_argument("--annotation_file", default="", help="seame JSONL")
+    p.add_argument("--kind", default="bdd100k",
+                   choices=["bdd100k", "carla", "seame", "synthetic"])
+    p.add_argument("--checkpoint", default="",
+                   help="Orbax dir or torch .pth ('' = random init)")
+    p.add_argument("--model", default="mobilenetv2_unet")
+    p.add_argument("--num_classes", type=int, default=10)
+    p.add_argument("--base_filters", type=int, default=0)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=128)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--samples", type=int, default=64,
+                   help="synthetic only: number of val samples")
+    p.add_argument("--platform", default="")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuseg.configs import DatasetSourceConfig, ModelConfig
+    from tpuseg.data.augment import normalize_images
+    from tpuseg.data.combined import CombinedDataset
+    from tpuseg.data.pipeline import InputPipeline
+    from tpuseg.data.sources import build_source
+    from tpuseg.infer.predictor import load_variables
+    from tpuseg.models.registry import build_model
+    from tpuseg.train.metrics import (
+        iou_from_confusion,
+        mean_iou,
+        pixel_accuracy_from_confusion,
+    )
+    from tpuseg.train.train_step import TrainState, make_eval_step
+
+    img_dir = args.img_dir or os.path.join(args.data_dir, "images")
+    mask_dir = args.mask_dir or os.path.join(args.data_dir, "masks")
+    src_cfg = DatasetSourceConfig(
+        kind=args.kind, img_dir=img_dir, mask_dir=mask_dir,
+        annotation_file=args.annotation_file, num_samples=args.samples,
+        weight=1.0,
+    )
+    try:
+        source = build_source(src_cfg, args.width, args.height)
+    except (FileNotFoundError, NotADirectoryError, OSError) as e:
+        print(f"ERROR: cannot open dataset: {e}", file=sys.stderr)
+        return 1
+    if len(source) == 0:
+        print(f"ERROR: no samples found under {img_dir!r}", file=sys.stderr)
+        return 1
+    # val_split=1.0: the WHOLE dataset is the (deterministic) eval split
+    combined = CombinedDataset([source], val_split=1.0)
+    pipeline = InputPipeline(
+        combined, batch_size=args.batch, height=args.height, width=args.width
+    )
+
+    model = build_model(
+        ModelConfig(name=args.model, num_classes=args.num_classes,
+                    base_filters=args.base_filters)
+    )
+
+    def init_fn():
+        import jax
+
+        v = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.height, args.width, 3)), train=False,
+        )
+        return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+
+    variables = load_variables(args.checkpoint, args.model, init_fn)
+    if not args.checkpoint:
+        print(
+            "WARNING: no --checkpoint — evaluating a randomly initialized "
+            "model (smoke test only)", file=sys.stderr,
+        )
+    state = TrainState(
+        step=0, apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=None, opt_state=None,
+    )
+    eval_step = make_eval_step(args.num_classes)
+
+    cm = jnp.zeros((args.num_classes, args.num_classes), jnp.int32)
+    loss_sum = jnp.float32(0.0)
+    n_dev = jnp.float32(0.0)
+    for images, masks, n_valid in pipeline.eval_batches():
+        out = eval_step(
+            state, normalize_images(images), masks.astype(jnp.int32),
+            jnp.asarray(n_valid),
+        )
+        cm = cm + out["confusion"]
+        loss_sum = loss_sum + out["loss_sum"]
+        n_dev = n_dev + out["n"]
+    n = float(n_dev)
+    iou = np.asarray(iou_from_confusion(cm))
+    print(json.dumps({
+        "miou": float(mean_iou(cm)),
+        "pixel_acc": float(pixel_accuracy_from_confusion(cm)),
+        "val_loss": float(loss_sum) / max(n, 1.0),
+        "iou_per_class": [None if np.isnan(v) else round(float(v), 4)
+                          for v in iou],
+        "n_images": int(n),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,7 +25,9 @@ class ModelConfig:
 
     name: str = "mobilenetv2_unet"  # one of tpuseg.models.registry
     num_classes: int = 10           # reference: main.py:98 (output_channels=10)
-    base_filters: int = 64          # UNet width (reference src/unet.py:125)
+    # UNet width; 0 = the model's reference default (UNet 64, src/unet.py:125;
+    # LightUNet 32, src/unet.py:149).
+    base_filters: int = 0
     width_mult: float = 1.0         # MobileNetV2 width multiplier
     # dtype policy: params always fp32; compute/activations may be bf16.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
@@ -71,7 +73,6 @@ class DataConfig:
     mix: Tuple[float, float, float] = (0.5, 0.2, 0.3)  # bdd / seame / carla
     val_split: float = 0.0               # reference main.py:55
     seed: int = 42                       # reference CombinedDataset.py:9
-    shuffle_buffer: int = 1024
     prefetch: int = 2                    # batches prefetched to device
     # RAM budget for caching decoded samples (+ assembled eval batches).
     # Decode+remap+resize is deterministic per index (augmentation is on
@@ -79,7 +80,9 @@ class DataConfig:
     # end-to-end training ceiling and a fitting dataset removes it after
     # epoch 1. 0 disables.
     cache_bytes: int = 0
-    augment: bool = True                 # on-device augmentation when training
+    # On-device train-time augmentation. False = normalize-only batches (the
+    # reference's is_train=False path, src/CombinedDataset.py:123-143).
+    augment: bool = True
     # Extended augmentation (the reference's augmentation.py pipeline, which
     # was written but never wired in — here it is a real switch).
     heavy_augment: bool = False

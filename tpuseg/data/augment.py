@@ -435,25 +435,35 @@ def make_detection_augment_fn(height: int, width: int,
     return fn
 
 
-def normalize_images(img: jnp.ndarray) -> jnp.ndarray:
-    """uint8/float [.., H, W, 3] in [0,255] -> ImageNet-normalized float32.
+def normalize_images(
+    img: jnp.ndarray,
+    mean: Tuple[float, float, float] = IMAGENET_MEAN,
+    std: Tuple[float, float, float] = IMAGENET_STD,
+) -> jnp.ndarray:
+    """uint8/float [.., H, W, 3] in [0,255] -> mean/std-normalized float32.
 
-    Parity with A.Normalize(mean, std) (src/BDD100KDataset.py:44 et al.).
+    Parity with A.Normalize(mean, std) (src/BDD100KDataset.py:44 et al.);
+    mean/std default to ImageNet and are routed from
+    DataConfig.normalize_mean/std.
     """
     img = img.astype(jnp.float32) / 255.0
     shape = (1,) * (img.ndim - 1) + (3,)
-    mean = jnp.asarray(IMAGENET_MEAN).reshape(shape)
-    std = jnp.asarray(IMAGENET_STD).reshape(shape)
+    mean = jnp.asarray(mean, jnp.float32).reshape(shape)
+    std = jnp.asarray(std, jnp.float32).reshape(shape)
     return (img - mean) / std
 
 
 def make_augment_fn(
-    height: int, width: int, heavy: bool = False
+    height: int, width: int, heavy: bool = False, augment: bool = True,
+    mean: Tuple[float, float, float] = IMAGENET_MEAN,
+    std: Tuple[float, float, float] = IMAGENET_STD,
 ) -> Callable[[jnp.ndarray, jnp.ndarray, jax.Array], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Build the jitted batch augment: (u8 imgs, u8 masks, key) -> (f32, i32).
 
     One compiled program: per-sample homography composition + one warp +
-    color epilogue + normalize, vmapped over the batch.
+    color epilogue + normalize, vmapped over the batch. ``augment=False``
+    is the reference's ``is_train=False`` switch
+    (src/CombinedDataset.py:123-143): normalize-only, no geometry/color.
     """
     sample_fn = _heavy_sample if heavy else _standard_sample
 
@@ -463,9 +473,14 @@ def make_augment_fn(
         keys = jax.random.split(key, n)
         per = functools.partial(sample_fn, height=height, width=width)
         imgs, msks = jax.vmap(per)(images, masks, keys)
-        return normalize_images(imgs), msks.astype(jnp.int32)
+        return normalize_images(imgs, mean, std), msks.astype(jnp.int32)
 
-    return augment_batch_fn
+    @jax.jit
+    def normalize_only_fn(images, masks, key):
+        del key
+        return normalize_images(images, mean, std), masks.astype(jnp.int32)
+
+    return augment_batch_fn if augment else normalize_only_fn
 
 
 def augment_batch(images, masks, key, heavy: bool = False):

@@ -97,6 +97,11 @@ class WeightedMixSampler:
         if w.sum() <= 0:
             # fall back to size-proportional sampling
             w = sizes.astype(np.float64)
+        if w.sum() <= 0:
+            # empty train split (e.g. val_split=1.0 eval-only): uniform
+            # placeholder probs — sample() must never be called, but the
+            # constructor should not emit NaNs
+            w = np.ones_like(w)
         self.probs = w / w.sum()
         self.sizes = sizes
         self.rng = np.random.RandomState(seed)

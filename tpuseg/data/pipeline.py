@@ -43,7 +43,13 @@ class SampleCache:
 
     def __init__(self, budget_bytes: int):
         self.budget = int(budget_bytes)
-        self.used = 0
+        self.used = 0      # evictable bytes resident in _d
+        # Bytes claimed by non-evictable consumers sharing the budget (the
+        # eval-batch cache). Tracked separately from ``used`` so a
+        # reservation never makes get() believe eviction can reclaim the
+        # space — inserting against unreclaimable bytes would leave the
+        # cache over budget and thrashing with ~one resident entry.
+        self.reserved = 0
         self._d: OrderedDict = OrderedDict()
 
     def get(self, key, loader):
@@ -55,8 +61,9 @@ class SampleCache:
         if sample is None:  # unreadable: let the caller's redraw logic run
             return None
         size = sum(a.nbytes for a in sample)
-        if size <= self.budget:
-            while self.used + size > self.budget and self._d:
+        headroom = self.budget - self.reserved
+        if size <= headroom:
+            while self.used + size > headroom and self._d:
                 _, old = self._d.popitem(last=False)
                 self.used -= sum(a.nbytes for a in old)
             self._d[key] = sample
@@ -275,16 +282,21 @@ class InputPipeline:
                     # ONE budget shared with the sample cache (configs.py
                     # documents cache_bytes as the total): only what fits in
                     # the remaining headroom is kept
-                    if collected_bytes > self._cache.budget - self._cache.used:
+                    headroom = (self._cache.budget - self._cache.reserved
+                                - self._cache.used)
+                    if collected_bytes > headroom:
                         collect = None  # val split too big for the headroom
                     else:
                         collect.append((imgs, msks, n))
                 yield (*self._put((imgs, msks)), n)
             # only a full, in-budget pass becomes the cache (an abandoned
-            # generator must not freeze a partial epoch as "the val set")
+            # generator must not freeze a partial epoch as "the val set").
+            # The bytes are RESERVED, not "used": they are non-evictable, so
+            # the sample cache must subtract them from its headroom rather
+            # than believe eviction can reclaim them.
             if completed and collect is not None:
                 self._eval_cache = collect
-                self._cache.used += collected_bytes  # reserve the budget
+                self._cache.reserved += collected_bytes
         finally:
             stop.set()
             t.join(timeout=5)

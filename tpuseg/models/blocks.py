@@ -195,14 +195,17 @@ class ConvBNAct(nn.Module):
                     param_dtype=jnp.float32,
                     name="conv",
                 )(x)
+        # BN statistics in at least float32 (bf16 activations are promoted;
+        # float64 — the x64 parity tests — stays float64)
+        bn_dtype = jnp.promote_types(jnp.float32, x.dtype)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
-            dtype=jnp.float32,
+            dtype=bn_dtype,
             param_dtype=jnp.float32,
             name="bn",
-        )(x.astype(jnp.float32)).astype(self.dtype)
+        )(x.astype(bn_dtype)).astype(self.dtype)
         if self.act is not None:
             x = self.act(x)
         return x
@@ -295,4 +298,5 @@ class OutConv(nn.Module):
             param_dtype=jnp.float32,
             name="conv2",
         )(x)
-        return x.astype(jnp.float32)
+        # logits in at least float32 (bf16 compute still yields f32 logits)
+        return x.astype(jnp.promote_types(jnp.float32, x.dtype))

@@ -26,7 +26,7 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     ),
     "unet": lambda cfg: UNet(
         output_channels=cfg.num_classes,
-        base_filters=cfg.base_filters,
+        base_filters=cfg.base_filters or 64,
         dtype=_dtype(cfg),
     ),
     "light_unet": lambda cfg: LightUNet(

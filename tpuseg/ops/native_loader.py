@@ -36,17 +36,42 @@ def _load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     for p in _LIB_PATHS:
         if os.path.exists(p):
-            lib = ctypes.CDLL(os.path.abspath(p))
-            lib.tpuseg_gather2.restype = ctypes.c_int64
-            lib.tpuseg_gather2.argtypes = [
-                ctypes.c_void_p, ctypes.c_int64,   # img src, bytes/sample
-                ctypes.c_void_p, ctypes.c_int64,   # msk src, bytes/sample
-                _i64p, ctypes.c_int64,             # indices, n
-                _u8p, _u8p,                        # img out, msk out
-            ]
-            _LIB = lib
-            break
+            try:
+                lib = ctypes.CDLL(os.path.abspath(p))
+                lib.tpuseg_gather2.restype = ctypes.c_int64
+                lib.tpuseg_gather2.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64,  # img src, bytes/sample
+                    ctypes.c_void_p, ctypes.c_int64,  # msk src, bytes/sample
+                    _i64p, ctypes.c_int64,            # indices, n
+                    _u8p, _u8p,                       # img out, msk out
+                ]
+            except (OSError, AttributeError):
+                continue  # unloadable / wrong-ABI library: try next path
+            if _self_test(lib):
+                _LIB = lib
+                break
     return _LIB
+
+
+def _self_test(lib: ctypes.CDLL) -> bool:
+    """Tiny known-answer gather before trusting a committed binary —
+    catches a stale/incompatible library (the build is portable -O3, so a
+    loadable library should always pass; this guards the fallback path)."""
+    try:
+        img = np.arange(6, dtype=np.uint8).reshape(2, 3)
+        msk = np.arange(4, dtype=np.uint8).reshape(2, 2)
+        img_out = np.zeros((1, 3), np.uint8)
+        msk_out = np.zeros((1, 2), np.uint8)
+        idx = np.asarray([1], np.int64)
+        lib.tpuseg_gather2(
+            img.ctypes.data, 3, msk.ctypes.data, 2, idx, 1, img_out, msk_out
+        )
+        return bool(
+            np.array_equal(img_out[0], img[1])
+            and np.array_equal(msk_out[0], msk[1])
+        )
+    except Exception:
+        return False
 
 
 def available() -> bool:

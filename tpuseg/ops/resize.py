@@ -114,9 +114,12 @@ def _apply_hw(x: jnp.ndarray, A_h: np.ndarray, A_w: np.ndarray) -> jnp.ndarray:
     """Contract [.., H, W, C] with A_h [H'->H] and A_w [W'->W] (matrix path,
     kept for parity testing of the tap path)."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    y = jnp.einsum("ih,...hwc->...iwc", jnp.asarray(A_h), xf)
-    y = jnp.einsum("jw,...iwc->...ijc", jnp.asarray(A_w), y)
+    # at least float32 compute; float64 inputs (x64 parity tests) stay f64.
+    # The f32-rounded matrix entries are exact for the x2 phases (0.25/0.75).
+    dtype = jnp.promote_types(jnp.float32, orig_dtype)
+    xf = x.astype(dtype)
+    y = jnp.einsum("ih,...hwc->...iwc", jnp.asarray(A_h, dtype), xf)
+    y = jnp.einsum("jw,...iwc->...ijc", jnp.asarray(A_w, dtype), y)
     return y.astype(orig_dtype)
 
 
@@ -125,7 +128,7 @@ def resize_bilinear(
 ) -> jnp.ndarray:
     """Bilinear resize of an NHWC (or HWC) tensor with exact torch semantics."""
     orig_dtype = x.dtype
-    y = x.astype(jnp.float32)
+    y = x.astype(jnp.promote_types(jnp.float32, orig_dtype))
     y = _interp_axis(y, x.ndim - 3, out_h, align_corners)
     y = _interp_axis(y, x.ndim - 2, out_w, align_corners)
     return y.astype(orig_dtype)
@@ -179,6 +182,70 @@ def upsample2x_bilinear(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndar
         _bilinear_matrix(h, 2 * h, align_corners),
         _bilinear_matrix(w, 2 * w, align_corners),
     )
+
+
+def _phase2_ac_true(x: jnp.ndarray, axis: int):
+    """Even/odd output phases of the exact align_corners=True 2x upsample.
+
+    For n inputs along ``axis`` the 2n outputs sample src = i*(n-1)/(2n-1).
+    Writing i = 2k and i = 2k+1:
+
+        src(2k)   = k - k/(2n-1)         -> lerp(x[k-1], x[k]),  w_{k-1} = k/(2n-1)
+        src(2k+1) = k + (n-1-k)/(2n-1)   -> lerp(x[k], x[k+1]),  w_{k+1} = (n-1-k)/(2n-1)
+
+    (k/(2n-1) < 1 and (n-1-k)/(2n-1) < 1 always, so the taps never cross an
+    extra integer — the decomposition is exact for every n.) Unlike the
+    ac=False case the weights are position-DEPENDENT, but they are still
+    just per-position vectors broadcast over the lerp: pure elementwise
+    shifts + multiplies, no gather, no matmul.
+    """
+    from jax import lax
+
+    n = x.shape[axis]
+    k = jnp.arange(n, dtype=x.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    we = (k / (2 * n - 1)).reshape(shape)            # weight of x[k-1], even
+    wo = ((n - 1 - k) / (2 * n - 1)).reshape(shape)  # weight of x[k+1], odd
+    first = lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = lax.slice_in_dim(x, n - 1, n, axis=axis)
+    xm1 = jnp.concatenate(
+        [first, lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis
+    )
+    xp1 = jnp.concatenate(
+        [lax.slice_in_dim(x, 1, n, axis=axis), last], axis=axis
+    )
+    even = we * xm1 + (1.0 - we) * x
+    odd = (1.0 - wo) * x + wo * xp1
+    return even, odd
+
+
+def upsample2x_argmax_head(logits: jnp.ndarray) -> jnp.ndarray:
+    """argmax(upsample2x_bilinear(logits, align_corners=True)) — the model
+    head (reference src/unet.py:30 + inference argmax) — WITHOUT ever
+    materializing the full-resolution fp32 logits.
+
+    Each of the four (H-phase x W-phase) grids is an elementwise 4-tap lerp
+    of the half-res logits that XLA fuses straight into its argmax; only
+    the four uint8 index planes reach HBM, then a depth-to-space interleave
+    assembles the full-res class map. HBM traffic becomes ~4 half-res fp32
+    reads + 1 full-res uint8 write, vs write + read of full-res fp32 logits
+    (2.6 GB round trip at 512x512 batch 256 — DESIGN.md §13).
+
+    [B, H, W, C] float -> [B, 2H, 2W] uint8.
+    """
+    eh, oh = _phase2_ac_true(logits, logits.ndim - 3)
+    rows = []
+    for h in (eh, oh):
+        ew, ow = _phase2_ac_true(h, logits.ndim - 2)
+        ce = jnp.argmax(ew, axis=-1).astype(jnp.uint8)  # [B, H, W]
+        co = jnp.argmax(ow, axis=-1).astype(jnp.uint8)
+        # interleave W: [B, H, W, 2] -> [B, H, 2W]
+        w2 = jnp.stack([ce, co], axis=-1)
+        rows.append(w2.reshape(*w2.shape[:-2], 2 * w2.shape[-2]))
+    # interleave H: [B, H, 2, 2W] -> [B, 2H, 2W]
+    h2 = jnp.stack(rows, axis=-2)
+    return h2.reshape(*h2.shape[:-3], 2 * h2.shape[-3], h2.shape[-1])
 
 
 def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -119,7 +119,9 @@ class Trainer:
         )
 
         self.augment = make_augment_fn(
-            cfg.data.height, cfg.data.width, heavy=cfg.data.heavy_augment
+            cfg.data.height, cfg.data.width, heavy=cfg.data.heavy_augment,
+            augment=cfg.data.augment,
+            mean=cfg.data.normalize_mean, std=cfg.data.normalize_std,
         )
         self._aug_key = jax.random.PRNGKey(cfg.data.seed + 1)
         # Augmentation is fused INTO the jitted step (one dispatch per step;
@@ -144,9 +146,18 @@ class Trainer:
         self.eval_step = make_eval_step(cfg.model.num_classes, mesh=self.mesh)
 
         self.ckpt: Optional[CheckpointManager] = None
+        self.best_ckpt: Optional[CheckpointManager] = None
         if cfg.train.checkpoint_dir:
             self.ckpt = CheckpointManager(
                 cfg.train.checkpoint_dir, max_to_keep=cfg.train.keep_checkpoints
+            )
+            # The best-val-mIoU checkpoint lives in its own always-kept slot:
+            # the rolling manager above garbage-collects beyond max_to_keep,
+            # which would eventually delete the step best.json points at.
+            # (The reference keeps EVERY epoch, src/train.py:77, precisely so
+            # consumers can pick the best one later.)
+            self.best_ckpt = CheckpointManager(
+                os.path.join(cfg.train.checkpoint_dir, "best"), max_to_keep=1
             )
         self.step = 0
         # epochs COMPLETED — checkpointed explicitly: deriving it from
@@ -251,10 +262,8 @@ class Trainer:
             "cached": np.asarray(s["cached"], np.float64),
         }
 
-    def save_checkpoint(self, force: bool = False) -> None:
-        if self.ckpt is None:
-            return
-        payload = {
+    def _checkpoint_payload(self) -> dict:
+        return {
             "state": {
                 "params": self.state.params,
                 "batch_stats": self.state.batch_stats,
@@ -264,7 +273,11 @@ class Trainer:
             },
             "sampler": self._sampler_state_pytree(),
         }
-        self.ckpt.save(self.step, payload, force=force)
+
+    def save_checkpoint(self, force: bool = False) -> None:
+        if self.ckpt is None:
+            return
+        self.ckpt.save(self.step, self._checkpoint_payload(), force=force)
 
     def maybe_resume(self) -> bool:
         if self.ckpt is None or self.ckpt.latest_step() is None:
@@ -371,6 +384,13 @@ class Trainer:
                     done -= done % k  # whole dispatch groups only
                 steps_this = spe - done
                 if steps_this <= 0:
+                    # Resumed exactly at an epoch boundary (SIGTERM landed
+                    # after the final dispatch group): training for this
+                    # epoch is done but its epoch-end eval/checkpoint never
+                    # ran — run it now instead of silently skipping it and
+                    # leaving self.epoch one behind.
+                    self.epoch = epoch + 1
+                    self._epoch_end(epoch, [], 0.0, 0)
                     continue
                 batches = self.pipeline.train_batches(steps_this)
                 if cfg.progress:
@@ -419,12 +439,21 @@ class Trainer:
                     if self._preempted:
                         break
                 if self._preempted:
-                    # mid-epoch checkpoint: step/sampler state land exactly
-                    # after the last completed dispatch group, so resume
-                    # replays nothing and skips nothing
+                    # mid-epoch checkpoint: step/sampler state land after the
+                    # last completed dispatch group, so resume replays no
+                    # trained batch (the sampler RNG may have advanced past
+                    # up to prefetch+1 producer-drawn batches that were never
+                    # trained — statistically harmless with with-replacement
+                    # sampling)
+                    if self.ckpt is None:
+                        log.warning(
+                            "preempted at step %d — no checkpoint_dir set, "
+                            "progress is lost",
+                            self.step,
+                        )
+                        break
                     self.save_checkpoint(force=True)
-                    if self.ckpt is not None:
-                        self.ckpt.wait()
+                    self.ckpt.wait()
                     log.warning(
                         "preempted at step %d — checkpoint saved, exiting",
                         self.step,
@@ -434,39 +463,7 @@ class Trainer:
                     losses.extend(_loss_list(pending["loss"]))
                 dt = time.perf_counter() - t0
                 self.epoch = epoch + 1  # completed; saved with checkpoints
-                imgs_sec = steps_this * cfg.batch_size / max(dt, 1e-9)
-                rec = {
-                    "epoch": epoch + 1,
-                    "step": self.step,
-                    "train_loss": float(np.mean(losses)) if losses else float("nan"),
-                    "imgs_per_sec": imgs_sec,
-                    "seconds": dt,
-                }
-                if (
-                    self.combined.val_size > 0
-                    and cfg.eval_every_epochs
-                    and (epoch + 1) % cfg.eval_every_epochs == 0
-                ):
-                    rec.update(self.evaluate())
-                    miou = rec.get("val_miou")
-                    if miou is not None and miou > self._best_miou:
-                        self._best_miou = miou
-                        rec["best"] = True
-                        if cfg.checkpoint_dir:
-                            import os as _os
-
-                            with open(
-                                _os.path.join(cfg.checkpoint_dir, "best.json"),
-                                "w",
-                            ) as f:
-                                json.dump(
-                                    {"step": self.step, "val_miou": miou}, f
-                                )
-                self.history.append(rec)
-                log.info("%s", json.dumps(rec))
-                self._tb_scalars(rec)
-                if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
-                    self.save_checkpoint()
+                self._epoch_end(epoch, losses, dt, steps_this)
         finally:
             restore_signal()
             if profiling:
@@ -474,6 +471,47 @@ class Trainer:
             if self.ckpt is not None:
                 self.ckpt.wait()
         return self.history
+
+    def _epoch_end(self, epoch: int, losses: list, dt: float,
+                   steps_this: int) -> None:
+        """Epoch-end record + eval + best tracking + checkpoint save.
+
+        Shared by the normal epoch-complete path and the resumed-at-boundary
+        path (a SIGTERM that landed after an epoch's final dispatch group)."""
+        cfg = self.cfg.train
+        rec = {
+            "epoch": epoch + 1,
+            "step": self.step,
+            "train_loss": float(np.mean(losses)) if losses else float("nan"),
+            "imgs_per_sec": steps_this * cfg.batch_size / max(dt, 1e-9),
+            "seconds": dt,
+        }
+        if (
+            self.combined.val_size > 0
+            and cfg.eval_every_epochs
+            and (epoch + 1) % cfg.eval_every_epochs == 0
+        ):
+            rec.update(self.evaluate())
+            miou = rec.get("val_miou")
+            if miou is not None and miou > self._best_miou:
+                self._best_miou = miou
+                rec["best"] = True
+                if self.best_ckpt is not None:
+                    # always-kept slot: survives the rolling manager's
+                    # max_to_keep GC, so best.json stays restorable forever
+                    self.best_ckpt.save(
+                        self.step, self._checkpoint_payload(), force=True
+                    )
+                if cfg.checkpoint_dir:
+                    with open(
+                        os.path.join(cfg.checkpoint_dir, "best.json"), "w"
+                    ) as f:
+                        json.dump({"step": self.step, "val_miou": miou}, f)
+        self.history.append(rec)
+        log.info("%s", json.dumps(rec))
+        self._tb_scalars(rec)
+        if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
+            self.save_checkpoint()
 
     def evaluate(self) -> Dict[str, float]:
         """Full pass over the val split: loss, pixel acc, per-class IoU, mIoU."""
@@ -484,7 +522,9 @@ class Trainer:
         loss_sum = jnp.float32(0.0)
         n_dev = jnp.float32(0.0)
         for images, masks, n_valid in self.pipeline.eval_batches():
-            x = normalize_images(images)
+            x = normalize_images(
+                images, self.cfg.data.normalize_mean, self.cfg.data.normalize_std
+            )
             out = self.eval_step(
                 self.state, x, masks.astype(jnp.int32), jnp.asarray(n_valid)
             )
