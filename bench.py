@@ -79,7 +79,7 @@ FUSED_HEAD = os.environ.get("TPUSEG_BENCH_FUSED_HEAD", "0") == "1"
 # Pure-XLA phase-decomposed head (upsample2x_argmax_head): four elementwise
 # phase lerps each fused into its own argmax — full-res fp32 logits never
 # reach HBM either, without Pallas. Same exact classes.
-XLA_HEAD = os.environ.get("TPUSEG_BENCH_XLA_HEAD", "0") == "1"
+XLA_HEAD = os.environ.get("TPUSEG_BENCH_XLA_HEAD", "0") not in ("0", "")
 
 
 def _flops_per_frame(fwd, variables, x) -> float:
@@ -140,8 +140,15 @@ def _measure() -> dict:
     elif XLA_HEAD:
         from tpuseg.ops.resize import upsample2x_argmax_head
 
+        # TPUSEG_BENCH_XLA_HEAD=2 -> int32 phase outputs (A/B: uint8
+        # interleave forces an 8-bit relayout on TPU)
+        head_dtype = (jnp.int32 if os.environ.get(
+            "TPUSEG_BENCH_XLA_HEAD") == "2" else jnp.uint8)
+
         def classes_of(params, x):
-            return upsample2x_argmax_head(model.apply(params, x, train=False))
+            return upsample2x_argmax_head(
+                model.apply(params, x, train=False), out_dtype=head_dtype
+            )
     else:
         def classes_of(params, x):
             return jnp.argmax(model.apply(params, x, train=False), axis=-1)

@@ -220,7 +220,9 @@ def _phase2_ac_true(x: jnp.ndarray, axis: int):
     return even, odd
 
 
-def upsample2x_argmax_head(logits: jnp.ndarray) -> jnp.ndarray:
+def upsample2x_argmax_head(
+    logits: jnp.ndarray, out_dtype=jnp.uint8
+) -> jnp.ndarray:
     """argmax(upsample2x_bilinear(logits, align_corners=True)) — the model
     head (reference src/unet.py:30 + inference argmax) — WITHOUT ever
     materializing the full-resolution fp32 logits.
@@ -232,14 +234,15 @@ def upsample2x_argmax_head(logits: jnp.ndarray) -> jnp.ndarray:
     reads + 1 full-res uint8 write, vs write + read of full-res fp32 logits
     (2.6 GB round trip at 512x512 batch 256 — DESIGN.md §13).
 
-    [B, H, W, C] float -> [B, 2H, 2W] uint8.
+    [B, H, W, C] float -> [B, 2H, 2W] ``out_dtype`` (default uint8; int32
+    avoids TPU 8-bit relayout in the interleave, A/B-able).
     """
     eh, oh = _phase2_ac_true(logits, logits.ndim - 3)
     rows = []
     for h in (eh, oh):
         ew, ow = _phase2_ac_true(h, logits.ndim - 2)
-        ce = jnp.argmax(ew, axis=-1).astype(jnp.uint8)  # [B, H, W]
-        co = jnp.argmax(ow, axis=-1).astype(jnp.uint8)
+        ce = jnp.argmax(ew, axis=-1).astype(out_dtype)  # [B, H, W]
+        co = jnp.argmax(ow, axis=-1).astype(out_dtype)
         # interleave W: [B, H, W, 2] -> [B, H, 2W]
         w2 = jnp.stack([ce, co], axis=-1)
         rows.append(w2.reshape(*w2.shape[:-2], 2 * w2.shape[-2]))
