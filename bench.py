@@ -108,7 +108,8 @@ def _measure() -> dict:
     # Persistent XLA compilation cache: a fresh `python bench.py` process
     # reuses the compiled program instead of paying the full model compile
     # every run — the round-1 driver bench timed out twice on exactly that
-    # cold-compile cost (VERDICT r1). The warmed cache ships in-repo.
+    # cold-compile cost (VERDICT r1). The cache lives on disk (untracked:
+    # ~180 MB) and persists across processes in the working tree.
     cache_dir = os.environ.get(
         "TPUSEG_BENCH_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -40,6 +40,7 @@ def main(argv=None) -> int:
         checkpoint=cfg.infer.checkpoint,
         input_hw=(cfg.data.height, cfg.data.width),
         batch_size=cfg.infer.batch_size,
+        colorize_on_device=cfg.infer.colorize_on_device,
     )
     pipeline = VideoPipeline(
         predictor,

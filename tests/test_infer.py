@@ -158,5 +158,16 @@ def test_predictor_mesh_sharded_equals_single(mesh8):
     # same init seed => same params; outputs must match exactly
     np.testing.assert_array_equal(plain(frames), sharded(frames))
 
+    # device colorize is pure XLA (argmax + palette gather) — it partitions
+    # over the mesh and must match the single-chip colorized output exactly
+    plain_c = Predictor(cfg, input_hw=(32, 64), batch_size=8,
+                        colorize_on_device=True)
+    sharded_c = Predictor(cfg, input_hw=(32, 64), batch_size=8, mesh=mesh8,
+                          colorize_on_device=True)
+    for a, b in zip(plain_c(frames), sharded_c(frames)):
+        np.testing.assert_array_equal(a, b)
+
+    # Pallas model kernels are the one thing that cannot partition
     with pytest.raises(ValueError, match="single-chip"):
-        Predictor(cfg, mesh=mesh8, colorize_on_device=True)
+        Predictor(ModelConfig(name="unet", base_filters=4, num_classes=10,
+                              use_pallas=True), mesh=mesh8)

@@ -45,8 +45,9 @@ def test_unpack_colors_roundtrip(rng):
 
 
 def test_predictor_colorize_on_device_matches_host_path():
-    """The Pallas-colorized pipeline output must equal the plain path
-    byte-for-byte (including the road-cleanup fix-up)."""
+    """The device-colorized pipeline output (XLA argmax+palette gather)
+    must equal the plain path byte-for-byte (incl. the road-cleanup
+    fix-up)."""
     from tpuseg.configs import ModelConfig
     from tpuseg.infer.predictor import Predictor
     from tpuseg.infer.video import VideoPipeline

@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     p.add_argument("--frame_h", type=int, default=360)
     p.add_argument("--frame_w", type=int, default=640)
     p.add_argument("--platform", default="")
+    p.add_argument("--variants", default="",
+                   help="comma list: argmax_only,argmax_colorize,"
+                        "argmax_colorize_xla (default: all)")
     p.add_argument("--history", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_history.json"))
@@ -77,17 +80,32 @@ def main(argv=None) -> int:
                             args.width, align_corners=False)
         logits = model.apply(variables, normalize_images(x), train=False)
         classes, packed = argmax_colorize(
-            logits, COLOR_MAP_BGR, interpret=interpret
+            logits, COLOR_MAP_BGR, interpret=interpret, prefer_pallas=True
         )
+        return (resize_nearest(classes, args.frame_h, args.frame_w),
+                resize_nearest(packed, args.frame_h, args.frame_w))
+
+    def classes_colorize_xla(frames):
+        from tpuseg.ops.pallas_kernels import argmax_colorize_reference
+
+        x = resize_bilinear(frames.astype(jnp.float32), args.height,
+                            args.width, align_corners=False)
+        logits = model.apply(variables, normalize_images(x), train=False)
+        classes, packed = argmax_colorize_reference(logits, COLOR_MAP_BGR)
         return (resize_nearest(classes, args.frame_h, args.frame_w),
                 resize_nearest(packed, args.frame_h, args.frame_w))
 
     frames = jnp.asarray(np.random.RandomState(0).randint(
         0, 255, (args.batch, args.frame_h, args.frame_w, 3), np.uint8))
 
+    variants = {"argmax_only": classes_only,
+                "argmax_colorize": classes_colorize,
+                "argmax_colorize_xla": classes_colorize_xla}
+    names = (args.variants.split(",") if args.variants
+             else list(variants))
     results = {}
-    for name, fn in (("argmax_only", classes_only),
-                     ("argmax_colorize", classes_colorize)):
+    for name in names:
+        fn = variants[name]
         @jax.jit
         def bench_fn(frames, fn=fn):
             def body(carry, _):
@@ -118,8 +136,12 @@ def main(argv=None) -> int:
         with open(args.history, "a") as f:
             f.write(json.dumps({**rec, "t": time.time()}) + "\n")
         print(json.dumps(rec))
-    ratio = results["argmax_colorize"] / max(results["argmax_only"], 1e-9)
-    print(json.dumps({"colorize_vs_argmax_only": round(ratio, 4)}))
+    if "argmax_only" in results:
+        base = max(results["argmax_only"], 1e-9)
+        ratios = {f"{k}_vs_argmax_only": round(v / base, 4)
+                  for k, v in results.items() if k != "argmax_only"}
+        if ratios:
+            print(json.dumps(ratios))
     return 0
 
 

@@ -150,6 +150,10 @@ class InferConfig:
     output: str = ""                     # output video path ("" = no write)
     batch_size: int = 8                  # batched, double-buffered pipeline
     display: bool = False                # cv2.imshow (reference behavior)
+    # device also emits the packed-BGR overlay (free on-chip: XLA argmax+
+    # palette gather, tools/colorize_bench.py) so the host skips its palette
+    # pass — costs an extra 4 B/px device->host fetch, so measure per setup
+    colorize_on_device: bool = False
     # postprocess toggles (reference inference.py:75-141)
     road_cleanup: bool = True            # morphology close + keep-largest-CC
     car_boxes: bool = True               # contour bboxes + distance labels

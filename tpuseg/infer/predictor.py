@@ -71,12 +71,14 @@ class Predictor:
         """``mesh``: a ``jax.sharding.Mesh`` with a "data" axis shards each
         batch over the chips (params replicated, XLA partitions the whole
         program) — serving-side data parallelism, the inference counterpart
-        of the sharded train step. The Pallas colorize kernel is not
-        partitionable, so ``colorize_on_device`` requires ``mesh=None``."""
-        if mesh is not None and (colorize_on_device or model_cfg.use_pallas):
+        of the sharded train step. ``colorize_on_device`` uses the pure-XLA
+        argmax+palette gather (measured FREE on v5e: 10,498 vs 10,445 fps
+        argmax-only — tools/colorize_bench.py), which partitions fine;
+        only the Pallas model kernels (``use_pallas``) are single-chip."""
+        if mesh is not None and model_cfg.use_pallas:
             raise ValueError(
-                "colorize_on_device/use_pallas is single-chip only; "
-                "with a mesh, colorize on host (native C++ path) instead"
+                "use_pallas is single-chip only; Pallas kernels are not "
+                "partitionable across a mesh"
             )
         if mesh is not None:
             n_data = mesh.shape.get("data", 1)
@@ -89,9 +91,11 @@ class Predictor:
         self.mesh = mesh
         self.input_hw = input_hw
         self.batch_size = batch_size
-        # Pallas fused argmax+colorize (tpuseg.ops.pallas_kernels): the device
-        # also emits the packed-BGR overlay, so the host skips its palette
-        # gather entirely (the reference's 10-pass recolor, inference.py:109).
+        # Device argmax+colorize (XLA palette gather; pallas_kernels routes
+        # there): the device also emits the packed-BGR overlay, so the host
+        # skips its palette pass (the reference's 10-pass recolor,
+        # inference.py:109) — at the cost of fetching 4 B/px packed colors
+        # alongside the 1 B/px class map.
         self.colorize_on_device = colorize_on_device or model_cfg.use_pallas
 
         def init_fn():
@@ -140,10 +144,7 @@ class Predictor:
                 from tpuseg.data.class_maps import COLOR_MAP_BGR
                 from tpuseg.ops.pallas_kernels import argmax_colorize
 
-                interpret = jax.devices()[0].platform == "cpu"
-                classes, packed = argmax_colorize(
-                    logits, COLOR_MAP_BGR, interpret=interpret
-                )
+                classes, packed = argmax_colorize(logits, COLOR_MAP_BGR)
                 # nearest upscale commutes with the palette lookup
                 return (
                     resize_nearest(classes, fh, fw),

@@ -3,16 +3,17 @@
 Kernel 1 — fused argmax + palette colorize. The reference's postprocess does
 ``torch.max`` on device, ships the class map to host, then runs a 10-pass
 per-class recoloring loop in numpy (inference.py:64-113). Here a single VPU
-kernel computes, per [8, W]-tile: the running max/argmax over the 10 class
-planes AND the palette lookup, emitting BOTH the class map (uint8, for the
-host morphology path) and the packed 0xXXRRGGBB color image (uint32 — one
-lane-aligned plane instead of a ragged [..., 3] tail). The color lookup is a
+kernel computes, per row-tile: the running max/argmax over the 10 class
+planes AND the palette lookup, emitting ONE packed 0xCC'RRGGBB uint32 plane
+(class index in the top byte, color below — one lane-aligned plane instead
+of a ragged [..., 3] tail plus a separate class map). The color lookup is a
 chain of 10 vector selects, fused into the same pass over the logits, so the
-logits are read from HBM exactly once.
+logits are read from HBM exactly once; the (classes, colors) split is
+elementwise XLA outside the kernel.
 
 Layout reasoning (pallas_guide.md): logits arrive NHWC with C=10 — far below
-the 128-lane width, so lanes must come from W instead. The kernel views the
-input as [B*H, W, C], tiles [8, 128] over (rows, W), and loops C in registers.
+the 128-lane width, so lanes come from W instead. The kernel views the input
+as [B*H, W, C], tiles rows with full W per block, and loops C in registers.
 
 All kernels carry a pure-JAX reference implementation and run in interpret
 mode on CPU for tests; ``use_pallas`` flags select them at runtime.
@@ -42,8 +43,9 @@ def argmax_colorize_reference(logits: jnp.ndarray, palette_rgb: np.ndarray):
     return classes.astype(jnp.uint8), packed[classes]
 
 
-def _argmax_colorize_kernel(logits_ref, classes_ref, colors_ref, *, palette):
-    """Grid cell: logits [TILE_R, 128, C] -> classes/colors [TILE_R, 128]."""
+def _argmax_colorize_kernel(logits_ref, out_ref, *, words):
+    """Grid cell: logits [TILE_R, W, C] -> packed [TILE_R, W] uint32
+    0xCC'RRGGBB (class index in the top byte, palette color below)."""
     num_classes = logits_ref.shape[-1]
     best = logits_ref[:, :, 0]
     best_idx = jnp.zeros(best.shape, jnp.int32)
@@ -52,23 +54,48 @@ def _argmax_colorize_kernel(logits_ref, classes_ref, colors_ref, *, palette):
         take = x > best
         best = jnp.where(take, x, best)
         best_idx = jnp.where(take, c, best_idx)
-    color = jnp.full(best_idx.shape, palette[0], jnp.uint32)
+    word = jnp.full(best_idx.shape, words[0], jnp.uint32)
     for c in range(1, num_classes):
-        color = jnp.where(best_idx == c, jnp.uint32(palette[c]), color)
-    classes_ref[:, :] = best_idx.astype(jnp.uint8)
-    colors_ref[:, :] = color
+        word = jnp.where(best_idx == c, jnp.uint32(words[c]), word)
+    out_ref[...] = word
 
 
 def argmax_colorize(
     logits: jnp.ndarray,
     palette_rgb: np.ndarray,
-    tile_rows: int = 256,
+    tile_rows: int = 32,
     interpret: bool = False,
+    prefer_pallas: bool = False,
 ):
     """Fused argmax+colorize. logits [B, H, W, C] float -> (uint8 [B,H,W],
-    uint32 [B,H,W] packed 0x00RRGGBB). W must be a multiple of 128."""
+    uint32 [B,H,W] packed 0x00RRGGBB). W must be a multiple of 128.
+
+    On hardware this routes to the pure-XLA reference by default: measured
+    on v5e (tools/colorize_bench.py, batch 64, 256x128 Predictor program),
+    XLA's argmax + 10-entry table gather is FREE (10,498 fps vs 10,445 for
+    argmax alone) while this Pallas kernel runs 2.66x slower (3,922 fps) —
+    its C-minor [.., W, 10] layout forces per-class lane broadcasts that
+    XLA's fused gather avoids. The kernel remains for interpret-mode tests
+    and as ``prefer_pallas=True`` for re-measurement on other topologies.
+
+    The kernel emits ONE uint32 plane with the class index packed into the
+    top byte (0xCC'RRGGBB); the (classes, colors) split happens outside in
+    XLA. Shape lessons from the hardware (both measured on v5e):
+    - a two-output [rows, W/128]-grid formulation compiled in interpret
+      mode but OOM'd scoped VMEM on-chip (XLA stack-allocated both full
+      outputs, 32.3 MB > 16 MB);
+    - tile_rows=256 with this single-output shape drove Mosaic's register
+      allocator into 127.66 MB of spill slots (VMEM OOM after a 24-minute
+      compile) — the unrolled 10-class select chain holds several
+      [256, W] values live at once. Unlike upsample2x_argmax there is no
+      MXU matmul here to amortize big tiles, so small row tiles are
+      strictly better: tile_rows=32 keeps every live value at 8 vregs;
+    - XLA then stack-allocates the whole u32 output in scoped VMEM when it
+      is small enough to consider (8 MB at the video config), overflowing
+      the default 16 MB scoped limit by 7.6 MB — raised via
+      vmem_limit_bytes (v5e has 128 MB physical VMEM)."""
     b, h, w, c = logits.shape
-    if w % 128 != 0:
+    if w % 128 != 0 or c > 32 or not (interpret or prefer_pallas):
         return argmax_colorize_reference(logits, palette_rgb)
     rows = b * h
     x = logits.reshape(rows, w, c)
@@ -76,32 +103,27 @@ def argmax_colorize(
     while rows % tile_r != 0:
         tile_r //= 2
     tile_r = max(tile_r, 1)
-    palette = tuple(int(v) for v in _pack_palette(palette_rgb))
+    palette = _pack_palette(palette_rgb)
+    words = tuple(int(v) | (i << 24) for i, v in enumerate(palette))
 
-    kernel = functools.partial(_argmax_colorize_kernel, palette=palette)
-    classes, colors = pl.pallas_call(
+    kernel = functools.partial(_argmax_colorize_kernel, words=words)
+    packed = pl.pallas_call(
         kernel,
-        grid=(rows // tile_r, w // 128),
+        grid=(rows // tile_r,),
         in_specs=[
-            pl.BlockSpec(
-                (tile_r, 128, c),
-                lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            )
+            pl.BlockSpec((tile_r, w, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
         ],
-        out_specs=(
-            pl.BlockSpec((tile_r, 128), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_r, 128), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, w), jnp.uint8),
-            jax.ShapeDtypeStruct((rows, w), jnp.uint32),
-        ),
+        out_specs=pl.BlockSpec((tile_r, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, w), jnp.uint32),
         interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)}),
     )(x)
-    return classes.reshape(b, h, w), colors.reshape(b, h, w)
+    packed = packed.reshape(b, h, w)
+    classes = (packed >> 24).astype(jnp.uint8)
+    return classes, packed & jnp.uint32(0x00FFFFFF)
 
 
 # ---------------------------------------------------------------------------
