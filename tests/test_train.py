@@ -245,6 +245,30 @@ def test_checkpoint_restores_across_mesh_shapes(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_overwrites_existing_step(tmp_path):
+    """Saving a step that already exists replaces it instead of raising
+    Orbax's StepAlreadyExistsError — hit when SIGTERM lands exactly at an
+    epoch boundary (the preemption save and the boundary-resume epoch-end
+    save share a step) or when re-running into a stale checkpoint_dir
+    without --train.resume. The LATEST payload must win."""
+    from tpuseg.core.checkpoint import CheckpointManager
+
+    with CheckpointManager(str(tmp_path / "ck")) as mgr:
+        mgr.save(4, {"w": np.full(3, 1.0, np.float32)}, force=True)
+        mgr.wait()
+        mgr.save(4, {"w": np.full(3, 2.0, np.float32)}, force=True)
+        mgr.wait()
+        assert mgr.all_steps() == [4]
+
+    # a fresh manager over the same dir (the re-run scenario)
+    with CheckpointManager(str(tmp_path / "ck")) as mgr:
+        mgr.save(4, {"w": np.full(3, 3.0, np.float32)}, force=True)
+        mgr.wait()
+        restored = mgr.restore(4)
+        np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                      np.full(3, 3.0, np.float32))
+
+
 def test_profiler_trace_capture(tmp_path):
     """--profile_dir flag (SURVEY.md §5.1): jax.profiler writes a trace."""
     from tpuseg.train.trainer import Trainer

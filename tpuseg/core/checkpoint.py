@@ -36,9 +36,23 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(directory, options=options)
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
-        return self._mgr.save(
-            step, args=ocp.args.StandardSave(state), force=force
-        )
+        # Overwrite-on-collision: a step can legitimately already exist —
+        # a SIGTERM that lands exactly after an epoch's final dispatch group
+        # saves step N, and the boundary-resume epoch-end then saves N again;
+        # re-running into a stale checkpoint_dir without --train.resume hits
+        # the old run's steps. Orbax raises StepAlreadyExistsError for both;
+        # the current state is the truth, so replace the stale step (silently
+        # skipping would leave best/ pointing at old-run params).
+        try:
+            return self._mgr.save(
+                step, args=ocp.args.StandardSave(state), force=force
+            )
+        except ocp.checkpoint_manager.StepAlreadyExistsError:
+            self._mgr.wait_until_finished()
+            self._mgr.delete(step)
+            return self._mgr.save(
+                step, args=ocp.args.StandardSave(state), force=force
+            )
 
     def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
         """Restore ``step`` (default: latest). ``template`` is an abstract or

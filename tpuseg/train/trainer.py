@@ -470,6 +470,11 @@ class Trainer:
                 jax.profiler.stop_trace()
             if self.ckpt is not None:
                 self.ckpt.wait()
+            if self.best_ckpt is not None:
+                # without this the best/ async save can still be in flight at
+                # process exit, leaving an unfinalized *.orbax-checkpoint-tmp
+                # that best.json points at
+                self.best_ckpt.wait()
         return self.history
 
     def _epoch_end(self, epoch: int, losses: list, dt: float,
