@@ -41,6 +41,8 @@ def main(argv=None) -> int:
         input_hw=(cfg.data.height, cfg.data.width),
         batch_size=cfg.infer.batch_size,
         colorize_on_device=cfg.infer.colorize_on_device,
+        upscale_on_host=cfg.infer.upscale_on_host,
+        preprocess_on_host=cfg.infer.preprocess_on_host,
     )
     pipeline = VideoPipeline(
         predictor,
@@ -48,6 +50,7 @@ def main(argv=None) -> int:
         car_boxes=cfg.infer.car_boxes,
         min_car_area=cfg.infer.min_car_area,
         blend_alpha=cfg.infer.blend_alpha,
+        pipeline_depth=cfg.infer.pipeline_depth,
     )
     stats = pipeline.run(
         cfg.infer.video,

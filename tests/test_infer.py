@@ -106,6 +106,27 @@ def test_predictor_batched_equals_single():
         np.testing.assert_array_equal(batched[i], single)
 
 
+def test_predictor_host_upscale_equals_device_upscale():
+    """upscale_on_host fetches model-res classes and upscales with cv2
+    INTER_NEAREST — must be bit-identical to the all-on-device program
+    (tpuseg.ops.resize_nearest), including the packed-color plane, at a
+    non-integer scale (60/32, 100/64)."""
+    cfg = ModelConfig(name="unet", base_filters=4, num_classes=10)
+    frames = np.random.RandomState(3).randint(0, 255, (4, 60, 100, 3), np.uint8)
+    host = Predictor(cfg, input_hw=(32, 64), batch_size=4,
+                     upscale_on_host=True)
+    dev = Predictor(cfg, input_hw=(32, 64), batch_size=4,
+                    upscale_on_host=False)
+    np.testing.assert_array_equal(host(frames), dev(frames))
+
+    host_c = Predictor(cfg, input_hw=(32, 64), batch_size=4,
+                       upscale_on_host=True, colorize_on_device=True)
+    dev_c = Predictor(cfg, input_hw=(32, 64), batch_size=4,
+                      upscale_on_host=False, colorize_on_device=True)
+    for a, b in zip(host_c(frames), dev_c(frames)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_video_pipeline_end_to_end(tmp_path):
     # synthesize a tiny video
     src = str(tmp_path / "in.mp4")

@@ -154,6 +154,18 @@ class InferConfig:
     # palette gather, tools/colorize_bench.py) so the host skips its palette
     # pass — costs an extra 4 B/px device->host fetch, so measure per setup
     colorize_on_device: bool = False
+    # fetch class maps at MODEL resolution and nearest-upscale on host (the
+    # reference's own cv2 INTER_NEAREST, inference.py:68-70 — bit-identical
+    # to the device resize): (frame/model)-area-x fewer device->host bytes.
+    upscale_on_host: bool = True
+    # run the model-size downscale on host with cv2 INTER_LINEAR on uint8
+    # frames (byte-for-byte the reference preprocess, inference.py:28-46):
+    # (frame/model)-area-x fewer host->device bytes. Off = the device fp32
+    # resize chain (can differ from cv2 at rounding-tie boundary pixels).
+    preprocess_on_host: bool = False
+    # batches in flight on the device before the host blocks on a fetch
+    # (1 = classic double buffering); deeper overlaps per-dispatch latency.
+    pipeline_depth: int = 3
     # postprocess toggles (reference inference.py:75-141)
     road_cleanup: bool = True            # morphology close + keep-largest-CC
     car_boxes: bool = True               # contour bboxes + distance labels

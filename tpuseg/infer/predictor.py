@@ -26,6 +26,27 @@ from tpuseg.models.registry import build_model
 from tpuseg.ops.resize import resize_bilinear, resize_nearest
 
 
+def upscale_nearest_host(arr: np.ndarray, fh: int, fw: int) -> np.ndarray:
+    """cv2 INTER_NEAREST per batch item — the reference's own class-map
+    upscale (inference.py:68-70), bit-identical to the device
+    ``resize_nearest`` (same half-pixel convention, tests/test_ops.py).
+
+    uint32-packed color planes are resized as 4-channel uint8 views
+    (nearest replicates whole pixels, so the reinterpretation is exact).
+    """
+    import cv2
+
+    if arr.ndim == 3 and arr.dtype == np.uint32:  # packed BGR overlays
+        b, h, w = arr.shape
+        as8 = arr.view(np.uint8).reshape(b, h, w, 4)
+        out8 = upscale_nearest_host(as8, fh, fw)
+        return out8.reshape(b, fh * fw * 4).view(np.uint32).reshape(b, fh, fw)
+    out = np.empty((arr.shape[0], fh, fw) + arr.shape[3:], arr.dtype)
+    for i in range(arr.shape[0]):
+        out[i] = cv2.resize(arr[i], (fw, fh), interpolation=cv2.INTER_NEAREST)
+    return out
+
+
 def load_variables(checkpoint: str, model_name: str, init_fn) -> dict:
     """Resolve a checkpoint path into {"params", "batch_stats"} variables."""
     if not checkpoint:
@@ -66,6 +87,8 @@ class Predictor:
         input_hw: Tuple[int, int] = (128, 256),
         batch_size: int = 8,
         colorize_on_device: bool = False,
+        upscale_on_host: bool = True,
+        preprocess_on_host: bool = False,
         mesh=None,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with a "data" axis shards each
@@ -74,7 +97,28 @@ class Predictor:
         of the sharded train step. ``colorize_on_device`` uses the pure-XLA
         argmax+palette gather (measured FREE on v5e: 10,498 vs 10,445 fps
         argmax-only — tools/colorize_bench.py), which partitions fine;
-        only the Pallas model kernels (``use_pallas``) are single-chip."""
+        only the Pallas model kernels (``use_pallas``) are single-chip.
+
+        ``upscale_on_host`` (default): the device program stops at the
+        model-resolution argmax and the nearest upscale to frame size runs
+        on host with cv2 INTER_NEAREST — the reference's own upscale
+        (inference.py:68-70), bit-identical to the device path. The fetch
+        shrinks by (frame area / model area) — 7x fewer bytes at the demo
+        config — and the device program becomes frame-size independent (no
+        recompile per video size). False restores the all-on-device
+        program. Measured demo impact of the full fetch-path rework
+        (model-res fetch + deep pipeline + async copies): 91 -> 153 fps
+        default, 213 fps with preprocess_on_host (docs/DESIGN.md §19).
+
+        ``preprocess_on_host``: the model-size downscale runs on host with
+        cv2 INTER_LINEAR on the uint8 frames — byte-for-byte the
+        REFERENCE's own preprocess (cv2.resize before ToTensor,
+        inference.py:28-46) — shrinking the host->device upload by
+        (frame/model) area. The device fp32 resize (default) and the uint8
+        cv2 resize round differently at tie-break pixels, so class maps can
+        differ on a handful of boundary pixels; the flag selects which
+        convention is bit-preserved (device fp32 chain vs reference cv2
+        chain)."""
         if mesh is not None and model_cfg.use_pallas:
             raise ValueError(
                 "use_pallas is single-chip only; Pallas kernels are not "
@@ -97,6 +141,8 @@ class Predictor:
         # inference.py:109) — at the cost of fetching 4 B/px packed colors
         # alongside the 1 B/px class map.
         self.colorize_on_device = colorize_on_device or model_cfg.use_pallas
+        self.upscale_on_host = upscale_on_host
+        self.preprocess_on_host = preprocess_on_host
 
         def init_fn():
             v = self.model.init(
@@ -121,17 +167,23 @@ class Predictor:
         self._jitted = {}
 
     def _fn_for(self, frame_hw: Tuple[int, int]):
-        if frame_hw in self._jitted:
-            return self._jitted[frame_hw]
+        # With the host upscale the device program never sees the frame
+        # size — one cache entry serves every video resolution.
+        key = "model_res" if self.upscale_on_host else frame_hw
+        if key in self._jitted:
+            return self._jitted[key]
         mh, mw = self.input_hw
-        fh, fw = frame_hw
+        fh, fw = (mh, mw) if self.upscale_on_host else frame_hw
         colorize = self.colorize_on_device
         int8 = self.int8
 
         def run(variables, frames):
             x = frames.astype(jnp.float32)
-            # cv2.resize INTER_LINEAR == half-pixel bilinear (inference.py:30)
-            x = resize_bilinear(x, mh, mw, align_corners=False)
+            if frames.shape[1:3] != (mh, mw):
+                # cv2.resize INTER_LINEAR == half-pixel bilinear
+                # (inference.py:30); skipped when the host already resized
+                # (preprocess_on_host) or frames arrive at model size
+                x = resize_bilinear(x, mh, mw, align_corners=False)
             x = normalize_images(x)
             bound = {
                 "params": variables["params"],
@@ -145,12 +197,16 @@ class Predictor:
                 from tpuseg.ops.pallas_kernels import argmax_colorize
 
                 classes, packed = argmax_colorize(logits, COLOR_MAP_BGR)
+                if (fh, fw) == (mh, mw):  # host upscales after the fetch
+                    return classes, packed
                 # nearest upscale commutes with the palette lookup
                 return (
                     resize_nearest(classes, fh, fw),
                     resize_nearest(packed, fh, fw),
                 )
             classes = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            if (fh, fw) == (mh, mw):
+                return classes
             # nearest upscale back to frame size (inference.py:68-70)
             return resize_nearest(classes, fh, fw)
 
@@ -167,8 +223,26 @@ class Predictor:
                 ),
                 out_shardings=batch_sharding(self.mesh),
             )
-        self._jitted[frame_hw] = run
+        self._jitted[key] = run
         return run
+
+    def _maybe_host_resize(self, frames: np.ndarray) -> np.ndarray:
+        """preprocess_on_host: cv2 INTER_LINEAR downscale to model size on
+        the uint8 frames (the reference's preprocess, inference.py:28-46) —
+        cuts the host->device upload by the frame/model area ratio."""
+        mh, mw = self.input_hw
+        if not self.preprocess_on_host or frames.shape[1:3] == (mh, mw):
+            return frames
+        import cv2
+
+        out = np.empty(
+            (frames.shape[0], mh, mw, frames.shape[3]), frames.dtype
+        )
+        for i in range(frames.shape[0]):
+            out[i] = cv2.resize(
+                frames[i], (mw, mh), interpolation=cv2.INTER_LINEAR
+            )
+        return out
 
     def __call__(self, frames: np.ndarray):
         """frames: uint8 RGB [B, H, W, 3] -> class maps uint8 [B, H, W]
@@ -181,14 +255,22 @@ class Predictor:
                     f"the mesh's data axis ({n_data} devices) — pad the "
                     "batch (VideoPipeline does this automatically)"
                 )
-        fn = self._fn_for((frames.shape[1], frames.shape[2]))
-        out = fn(self.variables, jnp.asarray(frames))
+        fh, fw = frames.shape[1], frames.shape[2]
+        fn = self._fn_for((fh, fw))
+        out = fn(self.variables, jnp.asarray(self._maybe_host_resize(frames)))
         if self.colorize_on_device:
-            return np.asarray(out[0]), np.asarray(out[1])
-        return np.asarray(out)
+            classes, packed = np.asarray(out[0]), np.asarray(out[1])
+            if self.upscale_on_host and classes.shape[1:] != (fh, fw):
+                classes = upscale_nearest_host(classes, fh, fw)
+                packed = upscale_nearest_host(packed, fh, fw)
+            return classes, packed
+        classes = np.asarray(out)
+        if self.upscale_on_host and classes.shape[1:] != (fh, fw):
+            classes = upscale_nearest_host(classes, fh, fw)
+        return classes
 
     def predict_async(self, frames: np.ndarray):
         """Dispatch without host sync; returns the device array (fetch with
         np.asarray when needed) — the double-buffering hook for VideoPipeline."""
         fn = self._fn_for((frames.shape[1], frames.shape[2]))
-        return fn(self.variables, jnp.asarray(frames))
+        return fn(self.variables, jnp.asarray(self._maybe_host_resize(frames)))

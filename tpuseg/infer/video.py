@@ -37,8 +37,18 @@ class VideoPipeline:
         car_boxes: bool = True,
         min_car_area: float = 300.0,
         blend_alpha: float = 0.4,
+        pipeline_depth: int = 3,
     ):
+        """``pipeline_depth``: batches in flight on the device before the
+        host blocks on a fetch. Depth 1 is classic double buffering; deeper
+        keeps the dispatch->execute->fetch round trips of consecutive
+        batches overlapped, which matters when per-dispatch latency (not
+        compute) is the wall. With the async device->host copies below,
+        depth 3 took the demo 107.7 -> 209.7 fps on this host's remote-TPU
+        tunnel (~85 ms/round trip; docs/DESIGN.md §19). Device memory cost
+        is ``depth`` output buffers (model-res uint8: ~0.5 MB each)."""
         self.predictor = predictor
+        self.pipeline_depth = max(1, pipeline_depth)
         self.post_kwargs = dict(
             road_cleanup=road_cleanup,
             car_boxes=car_boxes,
@@ -113,7 +123,16 @@ class VideoPipeline:
         reader.start()
 
         stats = {"frames": 0, "cars": 0}
-        pending = None  # (frames_bgr, device_classes, n_valid)
+        # Phase attribution (seconds): where the wall-clock goes. decode_wait
+        # is time blocked on the reader thread; fetch_wait is the device
+        # sync + device->host copy; post is cv2/native postprocess; write is
+        # the output-video encode. They overlap the device, so they sum to
+        # more than `seconds` only if the device is never the bottleneck.
+        phases = {"decode_wait": 0.0, "fetch_wait": 0.0, "post": 0.0,
+                  "write": 0.0}
+        from collections import deque
+
+        pending = deque()  # (frames_bgr, device_classes, n_valid) in flight
         stop = False
 
         # Warm-up: compile the jitted program on the first batch BEFORE the
@@ -134,22 +153,40 @@ class VideoPipeline:
 
         def flush(entry):
             frames_bgr, dev_out, n_valid = entry
+            t = time.perf_counter()
             if colorized:
                 classes = np.asarray(dev_out[0])  # device sync happens HERE
                 packed = np.asarray(dev_out[1])
             else:
                 classes = np.asarray(dev_out)
+            phases["fetch_wait"] += time.perf_counter() - t
+            fh, fw = frames_bgr[0].shape[:2]
+            if classes.shape[1:] != (fh, fw):
+                # upscale_on_host Predictor: the fetch was model-res (7x
+                # fewer tunnel bytes); cv2 INTER_NEAREST here is
+                # bit-identical to the device resize_nearest
+                t = time.perf_counter()
+                from tpuseg.infer.predictor import upscale_nearest_host
+
+                classes = upscale_nearest_host(classes, fh, fw)
+                if colorized:
+                    packed = upscale_nearest_host(packed, fh, fw)
+                phases["post"] += time.perf_counter() - t
             for i in range(n_valid):
+                t = time.perf_counter()
                 result, det = overlay_predictions(
                     frames_bgr[i],
                     classes[i],
                     precolored_bgr=unpack_colors(packed[i]) if colorized else None,
                     **self.post_kwargs,
                 )
+                phases["post"] += time.perf_counter() - t
                 stats["frames"] += 1
                 stats["cars"] += det["cars"]
                 if writer is not None:
+                    t = time.perf_counter()
                     writer.write(result)
+                    phases["write"] += time.perf_counter() - t
                 if display:
                     cv2.imshow("tpuseg", result)
                     if cv2.waitKey(1) & 0xFF == ord("q"):
@@ -164,16 +201,35 @@ class VideoPipeline:
             n_valid = len(frames_bgr)
             if n_valid < batch:  # pad last batch to keep shapes static
                 frames_bgr = frames_bgr + [frames_bgr[-1]] * (batch - n_valid)
-            rgb = np.stack(frames_bgr)[..., ::-1]
+            if self.predictor.preprocess_on_host:
+                # resize BEFORE the BGR->RGB flip/stack so the host copies
+                # model-res bytes, not frame-res (the flip is channel-wise;
+                # it commutes with cv2's spatial resize exactly)
+                import cv2 as _cv2
+
+                mh, mw = self.predictor.input_hw
+                rgb = np.stack(
+                    [_cv2.resize(f, (mw, mh),
+                                 interpolation=_cv2.INTER_LINEAR)
+                     for f in frames_bgr]
+                )[..., ::-1]
+            else:
+                rgb = np.stack(frames_bgr)[..., ::-1]
             dev_out = self.predictor.predict_async(np.ascontiguousarray(rgb))
-            if pending is not None:
-                stop = flush(pending)
-            pending = (frames_bgr, dev_out, n_valid)
+            # start the device->host copy as soon as compute finishes, so
+            # the flush's np.asarray only waits, never initiates
+            for arr in dev_out if isinstance(dev_out, tuple) else (dev_out,):
+                arr.copy_to_host_async()
+            pending.append((frames_bgr, dev_out, n_valid))
+            if len(pending) > self.pipeline_depth:
+                stop = flush(pending.popleft())
             if stop:
                 break
+            t = time.perf_counter()
             item = q_in.get()
-        if pending is not None and not stop:
-            flush(pending)
+            phases["decode_wait"] += time.perf_counter() - t
+        while pending and not stop:
+            stop = flush(pending.popleft())
 
         reader.join(timeout=5)
         cap.release()
@@ -184,6 +240,7 @@ class VideoPipeline:
         dt = time.perf_counter() - t0
         stats["seconds"] = dt
         stats["fps"] = stats["frames"] / dt if dt > 0 else 0.0
+        stats["phases"] = {k: round(v, 3) for k, v in phases.items()}
         return stats
 
     def stream(self, frames_bgr: Iterator[np.ndarray]):
