@@ -103,46 +103,6 @@ def _trace(label: str, t0: float) -> float:
     return now
 
 
-def _device_put_packed(tree, device):
-    """Transfer a pytree to ``device`` in ONE buffer per dtype.
-
-    ``jax.device_put(tree)`` issues a round trip per leaf through the
-    remote-TPU tunnel — measured 480+ s for the ~320-leaf model tree, 79%
-    of the whole bench run. Packing the leaves into a single flat host
-    buffer per dtype makes it one transfer, then a trivial jitted
-    slice+reshape program (persistently cached) rebuilds the tree
-    on-device.
-    """
-    import jax
-    import numpy as np
-
-    leaves, treedef = jax.tree.flatten(tree)
-    order = {}  # dtype -> leaf indices, insertion-ordered
-    for i, leaf in enumerate(leaves):
-        order.setdefault(np.dtype(leaf.dtype), []).append(i)
-    flats = [
-        np.concatenate(
-            [np.ravel(np.asarray(leaves[i])) for i in idxs]
-            or [np.zeros(0, dt)]
-        ).astype(dt, copy=False)
-        for dt, idxs in order.items()
-    ]
-    dev_flats = jax.device_put(flats, device)
-
-    @jax.jit
-    def unpack(*packed):
-        out = [None] * len(leaves)
-        for flat, idxs in zip(packed, order.values()):
-            off = 0
-            for i in idxs:
-                n = int(np.prod(leaves[i].shape, dtype=np.int64))
-                out[i] = flat[off:off + n].reshape(leaves[i].shape)
-                off += n
-        return jax.tree.unflatten(treedef, out)
-
-    return unpack(*dev_flats)
-
-
 def _measure() -> dict:
     t0 = time.perf_counter()
     import jax
@@ -155,11 +115,11 @@ def _measure() -> dict:
         jax.config.update("jax_platforms", platform)
     else:
         # Keep the env-selected platform (axon TPU) as the default backend
-        # but ALSO initialize the host cpu backend: model init runs there
+        # but ALSO register the host cpu backend: model init runs there
         # (see below) to avoid per-op tunnel round trips.
-        current = os.environ.get("JAX_PLATFORMS", "")
-        if current and "cpu" not in current.split(","):
-            jax.config.update("jax_platforms", current + ",cpu")
+        from tpuseg.core.device_io import ensure_cpu_backend
+
+        ensure_cpu_backend()
     # Persistent XLA compilation cache: a fresh `python bench.py` process
     # reuses the compiled program instead of paying the full model compile
     # every run — the round-1 driver bench timed out twice on exactly that
@@ -210,22 +170,18 @@ def _measure() -> dict:
     else:
         def classes_of(params, x):
             return jnp.argmax(model.apply(params, x, train=False), axis=-1)
-    # Init on the HOST CPU as ONE jitted program: eager init is hundreds of
-    # tiny op dispatches (measured 250+ s), and running it on the tunnel
-    # device adds a round trip per op. A single jitted init compiles once,
-    # lands in the persistent cache for later processes, and the finished
-    # tree transfers to the TPU in one shot.
-    cpu0 = jax.local_devices(backend="cpu")[0]
+    # Init on the HOST CPU as ONE jitted program (eager init is hundreds
+    # of tiny dispatches — 250+ s measured), then ship the tree in one
+    # packed transfer (per-leaf device_put measured 526 s through the
+    # tunnel). Shared helpers: tpuseg.core.device_io.
+    from tpuseg.core.device_io import device_put_packed, init_on_host
 
     def _init(key):
         return model.init(key, jnp.zeros((1, 128, 256, 3)), train=False)
 
-    with jax.default_device(cpu0):
-        variables = jax.tree.map(
-            np.asarray, jax.jit(_init)(jax.random.PRNGKey(0))
-        )
+    variables = init_on_host(_init, jax.random.PRNGKey(0))
     t0 = _trace("init", t0)
-    variables = _device_put_packed(variables, jax.devices()[0])
+    variables = device_put_packed(variables)
     t0 = _trace("params_to_device", t0)
     if FOLDBN:  # exact BN fold (deployment inference config)
         from tpuseg.export.quantize import fold_batchnorm

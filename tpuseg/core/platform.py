@@ -28,4 +28,12 @@ def apply_platform_flag(argv: Sequence[str]) -> List[str]:
         if platform in ("tpu", "axon"):
             platform = "axon,cpu"  # fall back to CPU if no chip attached
         jax.config.update("jax_platforms", platform)
+    else:
+        # No explicit choice: keep the env platform as the default backend
+        # but ALSO register the host cpu backend — model init runs there as
+        # one jitted program instead of minutes of per-op tunnel round
+        # trips (tpuseg.core.device_io).
+        from tpuseg.core.device_io import ensure_cpu_backend
+
+        ensure_cpu_backend()
     return remaining

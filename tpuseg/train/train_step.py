@@ -49,14 +49,32 @@ def create_train_state(
     Defaults mirror the reference: Adam(lr=1.5e-4) with torch defaults
     (main.py:100).
     """
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    from tpuseg.core.device_io import init_on_host
+
+    # init + optimizer-state creation run on the host CPU as one jitted
+    # program; eager init on a remote-tunnel device is minutes of per-op
+    # round trips (tpuseg.core.device_io). The Trainer ships the finished
+    # state to the device/mesh in one packed transfer.
     if tx is None:
         tx = optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=eps)
-    return TrainState.create(
+
+    def _init(key):
+        variables = model.init(
+            key, jnp.zeros(input_shape, jnp.float32), train=False
+        )
+        params = variables["params"]
+        # tx.init inside the same host program: optax's zeros_like trees
+        # are otherwise another per-leaf eager dispatch storm
+        return params, variables.get("batch_stats", {}), tx.init(params)
+
+    params, batch_stats, opt_state = init_on_host(_init, rng)
+    return TrainState(
+        step=0,
         apply_fn=model.apply,
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
+        params=params,
+        batch_stats=batch_stats,
         tx=tx,
+        opt_state=opt_state,
     )
 
 

@@ -365,6 +365,16 @@ class Trainer:
         if cfg.resume:
             self.maybe_resume()
         start_epoch = self.epoch
+        # Ship the full training state to the mesh in ONE packed transfer
+        # (replicated): a per-leaf transfer of the ~1000-leaf state tree
+        # costs a tunnel round trip per leaf on this host (minutes), and
+        # letting the first jitted step do it implicitly is the same cost.
+        from tpuseg.core.device_io import device_put_packed
+        from tpuseg.core.mesh import replicated_sharding
+
+        self.state = device_put_packed(
+            self.state, sharding=replicated_sharding(self.mesh)
+        )
 
         profiling = False
         if cfg.profile_dir:
