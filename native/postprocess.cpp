@@ -260,6 +260,24 @@ void tpuseg_colorize(const uint8_t* classes, const uint8_t* palette,
   }
 }
 
+// Fused colorize+blend via a precomputed LUT: out = blend(frame, palette[c])
+// in ONE pass. The separate colorize (write 3 B/px) + blend (read 6, write
+// 3 B/px) chain costs 12 B/px of traffic plus a double-precision round per
+// channel; the LUT pass reads 4 B/px, writes 3, and does three table loads.
+// lut layout: [class id 0..255][channel 0..2][frame byte 0..255] -> uint8,
+// built host-side as clip(nearbyint(frame*(1-alpha) + palette[c]*alpha)) —
+// bit-identical to tpuseg_blend(frame, tpuseg_colorize(classes)) by
+// construction (same double expression, same rounding).
+void tpuseg_colorize_blend(const uint8_t* frame, const uint8_t* classes,
+                           const uint8_t* lut, uint8_t* out, int npx) {
+  for (int i = 0; i < npx; ++i) {
+    const uint8_t* t = lut + (size_t)classes[i] * 768;
+    out[i * 3 + 0] = t[frame[i * 3 + 0]];
+    out[i * 3 + 1] = t[256 + frame[i * 3 + 1]];
+    out[i * 3 + 2] = t[512 + frame[i * 3 + 2]];
+  }
+}
+
 // Blend: out = a*(1-alpha) + b*alpha, uint8. cv2.addWeighted computes in
 // double and rounds half-to-even (cvRound); match that exactly.
 void tpuseg_blend(const uint8_t* a, const uint8_t* b, uint8_t* out, int n,

@@ -110,3 +110,83 @@ def test_native_gather_matches_numpy(tmp_path):
     native_loader.gather2(images, masks, idx, img_out, msk_out)
     np.testing.assert_array_equal(img_out, images[idx])
     np.testing.assert_array_equal(msk_out, masks[idx])
+
+
+# ---------------------------------------------------------------------------
+# Fused colorize+blend (single LUT pass) vs the three-pass fallback.
+
+
+def _overlay_both_paths(frame, classes, **kw):
+    """(fused result, fallback result, fused dets, fallback dets)."""
+    from tpuseg.infer import postprocess as pp
+
+    fused, d1 = pp.overlay_predictions(frame, classes, **kw)
+    orig = native_post.has_colorize_blend
+    native_post.has_colorize_blend = lambda: False
+    try:
+        fb, d2 = pp.overlay_predictions(frame, classes, **kw)
+    finally:
+        native_post.has_colorize_blend = orig
+    return fused, fb, d1, d2
+
+
+@pytest.mark.skipif(not native_post.has_colorize_blend(),
+                    reason="library predates tpuseg_colorize_blend")
+def test_blend_lut_matches_addweighted(rng):
+    """LUT entries reproduce cv2.addWeighted's double-precision rounding."""
+    from tpuseg.data.class_maps import COLOR_MAP_BGR
+
+    classes = rng.randint(0, 10, (70, 110)).astype(np.uint8)
+    frame = rng.randint(0, 256, (70, 110, 3)).astype(np.uint8)
+    overlay = COLOR_MAP_BGR[classes]
+    ref = cv2.addWeighted(frame, 0.6, overlay, 0.4, 0)
+    lut = native_post.make_blend_lut(
+        np.vstack([COLOR_MAP_BGR,
+                   np.tile(COLOR_MAP_BGR[0], (256 - len(COLOR_MAP_BGR), 1))]
+                  ).astype(np.uint8), 0.4)
+    np.testing.assert_array_equal(
+        native_post.colorize_blend(frame, classes, lut), ref)
+
+
+@pytest.mark.skipif(not native_post.has_colorize_blend(),
+                    reason="library predates tpuseg_colorize_blend")
+def test_fused_overlay_bitexact_vs_fallback(rng):
+    """The fused LUT path must be byte-identical to the colorize->draw->
+    addWeighted chain, including anti-aliased labels (repaired per-ROI),
+    overlapping labels (merged ROIs), labels clipped at the frame edge,
+    and frames with no detections."""
+    # overlapping labels: three cars close together
+    c = np.zeros((100, 160), np.uint8)
+    c[30:60, 10:50] = 2
+    c[32:62, 55:95] = 2
+    c[40:70, 100:140] = 2
+    f = rng.randint(0, 256, (100, 160, 3)).astype(np.uint8)
+    fused, fb, d1, d2 = _overlay_both_paths(f, c)
+    np.testing.assert_array_equal(fused, fb)
+    assert d1 == d2 == {"cars": 3}
+
+    # label clipped at the top edge (text org y-5 above the frame)
+    c = np.zeros((80, 160), np.uint8)
+    c[2:40, 20:80] = 2
+    f = rng.randint(0, 256, (80, 160, 3)).astype(np.uint8)
+    fused, fb, d1, d2 = _overlay_both_paths(f, c)
+    np.testing.assert_array_equal(fused, fb)
+    assert d1 == d2 == {"cars": 1}
+
+    # no detections; road_cleanup both on and off (off must not mutate input)
+    c = np.zeros((60, 80), np.uint8)
+    c[30:, :] = 1
+    f = rng.randint(0, 256, (60, 80, 3)).astype(np.uint8)
+    for cleanup in (True, False):
+        keep = c.copy()
+        fused, fb, _, _ = _overlay_both_paths(f, c, road_cleanup=cleanup)
+        np.testing.assert_array_equal(fused, fb)
+        np.testing.assert_array_equal(c, keep)
+
+    # random class soup stress
+    for _ in range(10):
+        cs = rng.randint(0, 10, (90, 150)).astype(np.uint8)
+        fr = rng.randint(0, 256, (90, 150, 3)).astype(np.uint8)
+        fused, fb, d1, d2 = _overlay_both_paths(fr, cs)
+        np.testing.assert_array_equal(fused, fb)
+        assert d1 == d2

@@ -65,6 +65,10 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.tpuseg_blend.argtypes = [
                 _u8p, _u8p, _u8p, ctypes.c_int, ctypes.c_float
             ]
+            if hasattr(lib, "tpuseg_colorize_blend"):
+                lib.tpuseg_colorize_blend.argtypes = [
+                    _u8p, _u8p, _u8p, _u8p, ctypes.c_int
+                ]
             _LIB = lib
             break
     return _LIB
@@ -151,4 +155,44 @@ def blend(a: np.ndarray, b: np.ndarray, alpha: float) -> np.ndarray:
     b = np.ascontiguousarray(b, np.uint8)
     out = np.empty_like(a)
     lib.tpuseg_blend(a, b, out, a.size, alpha)
+    return out
+
+
+def has_colorize_blend() -> bool:
+    """True when the loaded library carries the fused colorize+blend entry
+    (older committed .so files may predate it)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "tpuseg_colorize_blend")
+
+
+def make_blend_lut(palette256: np.ndarray, alpha: float) -> np.ndarray:
+    """[256, 3, 256] uint8 LUT: lut[c, ch, v] = blend byte of frame value v
+    against palette color c — clip(rint(v*(1-alpha) + palette*alpha)),
+    computed in double with round-half-to-even, the exact expression of
+    tpuseg_blend/cv2.addWeighted. np.rint rounds half to even like
+    nearbyint, so lut-composed output is bit-identical to
+    blend(frame, colorize(classes))."""
+    assert palette256.shape == (256, 3)
+    v = np.arange(256, dtype=np.float64)
+    p = palette256.astype(np.float64)  # [256, 3]
+    mix = v[None, None, :] * (1.0 - alpha) + p[:, :, None] * alpha
+    return np.clip(np.rint(mix), 0, 255).astype(np.uint8)
+
+
+def colorize_blend(
+    frame_bgr: np.ndarray, classes: np.ndarray, lut: np.ndarray
+) -> np.ndarray:
+    """Fused out = blend(frame, palette[classes]) in one C++ pass.
+
+    ``lut`` from make_blend_lut. Replaces the reference's recolor-then-
+    addWeighted chain (inference.py:109-144) with a single memory pass."""
+    lib = _load()
+    assert lib is not None
+    frame_bgr = np.ascontiguousarray(frame_bgr, np.uint8)
+    classes = np.ascontiguousarray(classes, np.uint8)
+    lut = np.ascontiguousarray(lut, np.uint8)
+    out = np.empty_like(frame_bgr)
+    lib.tpuseg_colorize_blend(
+        frame_bgr, classes, lut, out, classes.size
+    )
     return out
