@@ -80,6 +80,9 @@ FUSED_HEAD = os.environ.get("TPUSEG_BENCH_FUSED_HEAD", "0") == "1"
 # phase lerps each fused into its own argmax — full-res fp32 logits never
 # reach HBM either, without Pallas. Same exact classes.
 XLA_HEAD = os.environ.get("TPUSEG_BENCH_XLA_HEAD", "0") not in ("0", "")
+# bf16 final-upsample contraction (halves the head's HBM traffic; logits
+# differ ~2^-9 rel so argmax can flip at exact ties) — A/B only.
+BF16_HEAD = os.environ.get("TPUSEG_BENCH_BF16_HEAD", "0") == "1"
 
 
 def _flops_per_frame(fwd, variables, x) -> float:
@@ -149,6 +152,7 @@ def _measure() -> dict:
         stem_s2d=S2D,
         up_subpixel=SUBPIX,
         upsample_head=not (FUSED_HEAD or XLA_HEAD),
+        head_fp32=not BF16_HEAD,
     )
     if FUSED_HEAD:
         from tpuseg.ops.pallas_kernels import upsample2x_argmax
@@ -244,7 +248,7 @@ def _measure() -> dict:
 def _config_tag() -> dict:
     return {"s2d": S2D, "pallas": PALLAS, "int8": INT8, "foldbn": FOLDBN,
             "subpix": SUBPIX, "fused_head": FUSED_HEAD,
-            "xla_head": XLA_HEAD, "batch": BATCH,
+            "xla_head": XLA_HEAD, "bf16_head": BF16_HEAD, "batch": BATCH,
             "size": f"{WIDTH}x{HEIGHT}"}
 
 
@@ -271,7 +275,8 @@ def _record(m: dict, stale: bool = False) -> dict:
     cfg = _config_tag()
     if any(
         cfg[k]
-        for k in ("s2d", "pallas", "int8", "foldbn", "fused_head", "xla_head")
+        for k in ("s2d", "pallas", "int8", "foldbn", "fused_head",
+                  "xla_head", "bf16_head")
     ) or not cfg["subpix"] or cfg["batch"] != DEFAULT_BATCH \
             or (WIDTH, HEIGHT) != DEFAULT_SIZE:
         rec["config"] = cfg
@@ -283,7 +288,8 @@ def _ab_toggles(rec: dict) -> tuple:
     cfg = rec.get("config") or {}
     return tuple(
         bool(cfg.get(k))
-        for k in ("s2d", "pallas", "int8", "foldbn", "fused_head", "xla_head")
+        for k in ("s2d", "pallas", "int8", "foldbn", "fused_head",
+                  "xla_head", "bf16_head")
     ) + (bool(cfg.get("subpix", True)),)
 
 

@@ -147,3 +147,26 @@ def test_stem_s2d_config_toggle_param_tree_invariant():
     np.testing.assert_allclose(
         np.asarray(out_off), np.asarray(out_on), rtol=1e-5, atol=1e-5
     )
+
+
+def test_bf16_head_close_and_same_tree():
+    """head_fp32=False (the +6.8%-fps serving knob) is apply-time only:
+    identical param tree, fp32 logits, and values within bf16 rounding of
+    the exact fp32-head path."""
+    m_exact = MobileNetV2UNet(output_channels=10, dtype=jnp.bfloat16)
+    m_fast = MobileNetV2UNet(
+        output_channels=10, dtype=jnp.bfloat16, head_fp32=False
+    )
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 32, 64, 3), jnp.float32)
+    v = m_exact.init(jax.random.PRNGKey(0), x[:1], train=False)
+    v2 = m_fast.init(jax.random.PRNGKey(0), x[:1], train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    a = m_exact.apply(v, x, train=False)
+    b = m_fast.apply(v, x, train=False)
+    assert b.dtype == jnp.float32
+    # bf16 storage of the 2-tap lerp: ~2^-8 relative worst case
+    scale = float(jnp.max(jnp.abs(a)))
+    assert float(jnp.max(jnp.abs(a - b))) < 0.02 * max(scale, 1.0)
+    # and the vast majority of argmax classes agree even at random init
+    agree = float((jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean())
+    assert agree > 0.97

@@ -39,6 +39,12 @@ class ModelConfig:
     # Exact subpixel/d2s rewrite of decoder conv1s (tpuseg.ops.subpixel).
     # Default ON: +30% fps on TPU (2289 vs 1767 @512x512 batch 128).
     up_subpixel: bool = True
+    # fp32 final-upsample contraction (the exact-parity convention). False
+    # runs it in the compute dtype: +6.8% fps @512x512 batch 256 on TPU
+    # (2411 vs 2257.6, bf16), logits ~2^-9 rel off so argmax can flip at
+    # exact near-ties — an opt-in serving knob, like the reference's own
+    # FP16 deployment claim (README.md:113-117). Apply-time only.
+    head_fp32: bool = True
 
 
 @dataclass

@@ -43,6 +43,15 @@ class MobileNetV2UNet(nn.Module):
     # with the argmax (tpuseg.ops.pallas_kernels.upsample2x_argmax) and the
     # full-resolution logits never reach HBM. Training keeps the default.
     upsample_head: bool = True
+    # Dtype of the final x2 upsample's contraction. True (default): fp32 —
+    # the exact-parity convention (the fp32 parity gate runs through this
+    # path). False: the contraction runs in the model's compute dtype
+    # (bf16), halving the head's HBM traffic; the 2-tap lerp still
+    # accumulates in fp32 on the MXU, only the stored operands/results are
+    # bf16, so logits differ ~2^-9 relative and argmax can flip at exact
+    # near-ties. Apply-time only; param tree unchanged. Returned logits are
+    # float32 either way (the astype fuses into any consumer reduce).
+    head_fp32: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -72,6 +81,10 @@ class MobileNetV2UNet(nn.Module):
             if not self.upsample_head:
                 return y.astype(jnp.float32)
             # final x2, align_corners=True (src/unet.py:30)
+            if self.head_fp32:
+                return upsample2x_bilinear(
+                    y.astype(jnp.float32), align_corners=True
+                )
             return upsample2x_bilinear(
-                y.astype(jnp.float32), align_corners=True
-            )
+                y, align_corners=True, compute_dtype=dt
+            ).astype(jnp.float32)

@@ -23,6 +23,7 @@ MODEL_REGISTRY: Dict[str, Callable] = {
         use_pallas=cfg.use_pallas,
         stem_s2d=cfg.stem_s2d,
         up_subpixel=cfg.up_subpixel,
+        head_fp32=cfg.head_fp32,
     ),
     "unet": lambda cfg: UNet(
         output_channels=cfg.num_classes,

@@ -110,10 +110,22 @@ def _interp_axis(x: jnp.ndarray, axis: int, n_out: int, align_corners: bool):
     return xlo * (1.0 - w) + xhi * w
 
 
-def _apply_hw(x: jnp.ndarray, A_h: np.ndarray, A_w: np.ndarray) -> jnp.ndarray:
+def _apply_hw(
+    x: jnp.ndarray, A_h: np.ndarray, A_w: np.ndarray, compute_dtype=None
+) -> jnp.ndarray:
     """Contract [.., H, W, C] with A_h [H'->H] and A_w [W'->W] (matrix path,
-    kept for parity testing of the tap path)."""
+    kept for parity testing of the tap path).
+
+    ``compute_dtype``: storage dtype of the contraction operands/results
+    (e.g. bf16 for the reduced-traffic inference head). The MXU still
+    accumulates each 2-tap lerp in fp32; only HBM-resident tensors narrow.
+    None (default) = at-least-fp32, the exact-parity convention."""
     orig_dtype = x.dtype
+    if compute_dtype is not None:
+        xf = x.astype(compute_dtype)
+        y = jnp.einsum("ih,...hwc->...iwc", jnp.asarray(A_h, compute_dtype), xf)
+        y = jnp.einsum("jw,...iwc->...ijc", jnp.asarray(A_w, compute_dtype), y)
+        return y
     # at least float32 compute; float64 inputs (x64 parity tests) stay f64.
     # The f32-rounded matrix entries are exact for the x2 phases (0.25/0.75).
     dtype = jnp.promote_types(jnp.float32, orig_dtype)
@@ -166,7 +178,11 @@ def _upsample2x_axis_half_pixel(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return y.reshape(shape)
 
 
-def upsample2x_bilinear(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
+def upsample2x_bilinear(
+    x: jnp.ndarray,
+    align_corners: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
     """x2 bilinear upsample (the decoder / final-head hot path).
 
     Contracts with the [2n, n] interpolation matrix — XLA maps the
@@ -181,6 +197,7 @@ def upsample2x_bilinear(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndar
         x,
         _bilinear_matrix(h, 2 * h, align_corners),
         _bilinear_matrix(w, 2 * w, align_corners),
+        compute_dtype=compute_dtype,
     )
 
 
