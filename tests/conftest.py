@@ -27,6 +27,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_debug_nans", True)
 jax.config.update("jax_numpy_rank_promotion", "raise")
 
+# Persistent XLA compile cache (same directory bench.py/__graft_entry__ use;
+# entries are keyed by platform+config so CPU test programs and TPU bench
+# programs never collide). XLA:CPU compilation dominates the suite's wall
+# clock on this 1-core host; a warm cache cuts re-runs several-fold.
+# TPUSEG_TEST_NO_CACHE=1 opts out (e.g. to measure cold-compile behavior).
+if os.environ.get("TPUSEG_TEST_NO_CACHE", "0") != "1":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                     ".xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
