@@ -43,6 +43,11 @@ def main(argv=None) -> int:
     p.add_argument("--eval", action="store_true",
                    help="benchmark the eval step (fwd + loss + confusion "
                         "matrix) instead of the train step")
+    p.add_argument("--bf16_head", action="store_true",
+                   help="run the final x2 upsample contraction in the "
+                        "compute dtype (model.head_fp32=false): halves the "
+                        "full-res logit traffic of an HBM-bound step at "
+                        "bf16-rounding tolerance (DESIGN §21)")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -60,7 +65,8 @@ def main(argv=None) -> int:
     from tpuseg.train.train_step import create_train_state, make_train_step
 
     model = build_model(
-        ModelConfig(name=args.model, compute_dtype=args.dtype)
+        ModelConfig(name=args.model, compute_dtype=args.dtype,
+                    head_fp32=not args.bf16_head)
     )
     state = create_train_state(
         model, jax.random.PRNGKey(0), (1, args.height, args.width, 3)
