@@ -126,17 +126,10 @@ def _measure() -> dict:
     # Persistent XLA compilation cache: a fresh `python bench.py` process
     # reuses the compiled program instead of paying the full model compile
     # every run — the round-1 driver bench timed out twice on exactly that
-    # cold-compile cost (VERDICT r1). The cache lives on disk (untracked:
-    # ~180 MB) and persists across processes in the working tree.
-    cache_dir = os.environ.get(
-        "TPUSEG_BENCH_CACHE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".xla_cache"),
-    )
-    if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # cold-compile cost (VERDICT r1).
+    from tpuseg.core.platform import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from jax import lax

@@ -46,10 +46,9 @@ def main(argv=None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    cache = os.path.join(os.path.dirname(args.history), ".xla_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from tpuseg.core.platform import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from jax import lax

@@ -10,10 +10,41 @@ degradation (cuda -> mps -> cpu, main.py:13-21) as an explicit choice.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+import os
+from typing import List, Optional, Sequence
+
+
+def enable_compile_cache(cache_dir: Optional[str] = None) -> str:
+    """Point JAX at the repo's persistent XLA compilation cache.
+
+    Every fresh process otherwise pays the full model compile (tens of
+    seconds on CPU, minutes through the remote-TPU tunnel — the round-1
+    driver bench timed out twice on exactly that). The cache lives on disk
+    (untracked, ~180 MB) and persists across processes in the working tree.
+    Precedence: explicit arg > ``TPUSEG_BENCH_CACHE`` env > ``<repo>/.xla_cache``.
+    An empty-string env value disables caching (returns "").
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "TPUSEG_BENCH_CACHE",
+            os.path.join(
+                os.path.dirname(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                ),
+                ".xla_cache",
+            ),
+        )
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir
 
 
 def apply_platform_flag(argv: Sequence[str]) -> List[str]:
+    enable_compile_cache()
     argv = list(argv)
     platform = None
     remaining = []
