@@ -49,3 +49,20 @@ def test_config_file_plus_override(tmp_path):
     assert cfg.model.name == "unet"
     assert cfg.model.base_filters == 8
     assert cfg.data.sources[0].kind == "synthetic"
+
+
+def test_sources_flag_validation():
+    # A bare string (not JSON) must fail loudly, not crash later in
+    # build_source with an AttributeError.
+    with pytest.raises(ValueError, match="JSON list of objects"):
+        load_config(["--data.sources=synthetic:16"])
+    with pytest.raises(ValueError, match="JSON list of objects"):
+        load_config(['--data.sources=["synthetic"]'])
+    good = load_config(
+        ['--data.sources=[{"kind":"synthetic","num_samples":16,"weight":1.0}]']
+    )
+    assert good.data.sources[0].kind == "synthetic"
+    assert good.data.sources[0].num_samples == 16
+    # A single JSON object is accepted as a one-source shorthand.
+    single = load_config(['--data.sources={"kind":"synthetic"}'])
+    assert len(single.data.sources) == 1

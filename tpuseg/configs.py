@@ -244,11 +244,20 @@ def _set_dotted(cfg: Any, dotted: str, value: str) -> None:
     current = getattr(obj, leaf)
     target = type(current) if current is not None else ftype
     coerced = _coerce(value, target)
-    if leaf == "sources" and isinstance(coerced, tuple):
+    if leaf == "sources":
+        if not isinstance(coerced, tuple):
+            coerced = (coerced,)
         coerced = tuple(
             DatasetSourceConfig(**s) if isinstance(s, dict) else s
             for s in coerced
         )
+        bad = [s for s in coerced if not isinstance(s, DatasetSourceConfig)]
+        if bad:
+            raise ValueError(
+                f"--{dotted} must be a JSON list of objects, got {bad!r}; "
+                'e.g. --data.sources=\'[{"kind":"synthetic",'
+                '"num_samples":256,"weight":1.0}]\''
+            )
     setattr(obj, leaf, coerced)
 
 
