@@ -61,7 +61,10 @@ def init_on_host(init_fn, *args):
     exists. ``args`` must be jit-traceable (e.g. a PRNG key)."""
     cpu = host_cpu_device()
     if cpu is None:
-        return jax.tree.map(np.asarray, init_fn(*args))
+        # No cpu backend: still run as ONE jitted program (eager init on a
+        # remote device costs a tunnel round trip per op), then fetch the
+        # tree in one pass.
+        return jax.tree.map(np.asarray, jax.jit(init_fn)(*args))
     with jax.default_device(cpu):
         return jax.tree.map(np.asarray, jax.jit(init_fn)(*args))
 
