@@ -53,9 +53,16 @@ def main(argv=None) -> int:
     from tpuseg.ops.resize import upsample2x_bilinear
 
     model = MobileNetV2UNet(output_channels=10, dtype=jnp.bfloat16)
-    variables = model.init(
+    # one host-side init program + one packed transfer (eager init on the
+    # remote device is minutes of per-op round trips — core/device_io)
+    from tpuseg.core.device_io import (
+        device_put_packed, ensure_cpu_backend, init_on_host)
+
+    ensure_cpu_backend()
+    variables = init_on_host(lambda: model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
-    )
+    ))
+    variables = device_put_packed(variables)
 
     import flax.linen as nn
 

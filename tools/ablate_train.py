@@ -59,6 +59,11 @@ def main(argv=None) -> int:
     state = create_train_state(
         model, jax.random.PRNGKey(0), (1, args.height, args.width, 3)
     )
+    # host (numpy) leaves -> one packed device transfer; otherwise every
+    # timed call re-uploads the state tree leaf-by-leaf (see train_bench)
+    from tpuseg.core.device_io import device_put_packed
+
+    state = device_put_packed(state)
     step = make_train_step(donate=False)
 
     rng = np.random.RandomState(0)

@@ -59,10 +59,17 @@ def main(argv=None) -> int:
     from tpuseg.ops.resize import resize_bilinear, resize_nearest
 
     model = MobileNetV2UNet(output_channels=10, dtype=jnp.bfloat16)
-    variables = model.init(
+    # host init + packed transfer (see core/device_io: eager remote init
+    # costs a tunnel round trip per op)
+    from tpuseg.core.device_io import (
+        device_put_packed, ensure_cpu_backend, init_on_host)
+
+    ensure_cpu_backend()
+    variables = init_on_host(lambda: model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, args.height, args.width, 3)),
         train=False,
-    )
+    ))
+    variables = device_put_packed(variables)
     interpret = jax.devices()[0].platform == "cpu"
 
     def classes_only(frames):

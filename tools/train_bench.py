@@ -74,6 +74,13 @@ def main(argv=None) -> int:
     state = create_train_state(
         model, jax.random.PRNGKey(0), (1, args.height, args.width, 3)
     )
+    # create_train_state returns HOST (numpy) leaves — the Trainer packs
+    # them to the device; a bench must too, or every timed chain call
+    # re-uploads ~300 leaves through the tunnel at one RPC each (~2 s,
+    # measured: 640-img chain 2.1 s host-state vs 0.27 s device-state).
+    from tpuseg.core.device_io import device_put_packed
+
+    state = device_put_packed(state)
     # scan threads state; no donation
     if args.eval:
         from tpuseg.train.train_step import make_eval_step
