@@ -123,3 +123,31 @@ def test_watchdog_stale_fallback_is_per_metric(monkeypatch, tmp_path):
     rec3 = run({"TPUSEG_BENCH_SIZE": "96x48"})
     assert rec3["stale"] is True
     assert rec3["value"] == 0.0  # never borrows another size's number
+
+
+def test_train_bench_tool_smoke(monkeypatch, capsys, tmp_path):
+    """tools/train_bench.py drives end-to-end on CPU at tiny shapes, prints
+    one JSON record, and does NOT append history from a cpu run (guards the
+    round-2 regression where host-resident state was measured as step
+    time — DESIGN §22)."""
+    import importlib.util
+
+    hist = tmp_path / "hist.json"
+    monkeypatch.setenv("TPUSEG_BENCH_HISTORY", str(hist))
+    spec = importlib.util.spec_from_file_location(
+        "train_bench_mod", os.path.join(REPO, "tools", "train_bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main([
+        "--model", "unet", "--height", "32", "--width", "64",
+        "--batch", "4", "--steps", "2", "--bf16_head",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["metric"] == "unet_train_64x32_imgs_per_sec"
+    assert rec["value"] > 0 and rec["unit"] == "imgs/sec"
+    import math
+    assert math.isfinite(rec["loss"])
+    assert not hist.exists()  # cpu runs never pollute the history

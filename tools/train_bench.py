@@ -173,6 +173,29 @@ def main(argv=None) -> int:
         rec["hbm_roofline_pct"] = round(
             100.0 * (bytes_per_step / 1e9 / PEAK_HBM_GBPS) / step_s, 1
         )
+    # Append to the same auditable history bench.py uses (config-tagged so
+    # filters never conflate configs). CPU runs (tests/smoke) don't record;
+    # TPUSEG_BENCH_HISTORY="" disables explicitly.
+    history = os.environ.get(
+        "TPUSEG_BENCH_HISTORY",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench_history.json"),
+    )
+    platform = jax.devices()[0].platform
+    if history and platform != "cpu":
+        tagged = {
+            **rec,
+            "batch": args.batch,
+            "size": f"{args.width}x{args.height}",
+            "config": {
+                "model": args.model, "dtype": args.dtype,
+                "remat": bool(args.remat), "eval": bool(args.eval),
+                "bf16_head": bool(args.bf16_head), "steps": args.steps,
+            },
+            "t": time.time(),
+        }
+        with open(history, "a") as f:
+            f.write(json.dumps(tagged) + "\n")
     print(json.dumps(rec))
     return 0
 
