@@ -1,0 +1,91 @@
+"""Smoke tests: every diagnostic tool drives end-to-end on CPU at tiny
+shapes and prints its record(s).
+
+These guard against bit-rot of the measurement tooling itself — round 2's
+phantom 7x train "regression" was a tool bug (host-resident state timed as
+step time, DESIGN §22), not a chip or model problem, and none of the
+ablation tools had a test that would have caught the pattern.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_tool(name, argv, monkeypatch, tmp_path):
+    """Import tools/<name>.py fresh and run main(argv); return stdout."""
+    # never let a cpu smoke run touch the real bench history
+    monkeypatch.setenv("TPUSEG_BENCH_HISTORY", str(tmp_path / "hist.json"))
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        f"{name}_smoke", os.path.join(REPO, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    # register so dataclasses/flax can resolve annotations defined in the
+    # tool module (sys.modules.get(cls.__module__) during class creation)
+    sys.modules[spec.name] = mod
+    try:
+        spec.loader.exec_module(mod)
+        return mod.main(argv)
+    finally:
+        sys.modules.pop(spec.name, None)
+
+
+def test_ablate_train_smoke(monkeypatch, capsys, tmp_path):
+    rc = _run_tool(
+        "ablate_train",
+        ["--batch", "4", "--width", "64", "--height", "32", "--chain", "2"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "{" in out  # per-section JSON records printed
+
+
+def test_ablate_forward_smoke(monkeypatch, capsys, tmp_path):
+    rc = _run_tool(
+        "ablate_forward",
+        ["--batch", "2", "--size", "64", "--chain", "2"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    assert "{" in capsys.readouterr().out
+
+
+def test_colorize_bench_smoke(monkeypatch, capsys, tmp_path):
+    rc = _run_tool(
+        "colorize_bench",
+        ["--batch", "2", "--chain", "2", "--width", "64", "--height", "32",
+         "--frame_h", "48", "--frame_w", "96",
+         "--history", str(tmp_path / "hist.json")],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    assert "{" in capsys.readouterr().out
+
+
+def test_eval_quantized_smoke(monkeypatch, capsys, tmp_path):
+    rc = _run_tool(
+        "eval_quantized",
+        ["--samples", "8", "--batch", "4", "--width", "64", "--height", "32"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the quantization gate prints a comparison record per variant
+    assert "int8" in out or "fp16" in out
+
+
+def test_pipeline_bench_smoke(monkeypatch, capsys, tmp_path):
+    rc = _run_tool(
+        "pipeline_bench",
+        ["--batch", "4", "--steps", "2", "--width", "64", "--height", "32"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    assert "{" in capsys.readouterr().out
