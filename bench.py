@@ -383,6 +383,7 @@ def main() -> None:
         env=env, stdout=out_file, stderr=sys.stderr,
         start_new_session=True,  # survives parent exit (abandon, not kill)
     )
+    reap_tmp = True  # keep the file only while an abandoned child writes it
     try:
         child.wait(timeout=watchdog_s)
         out_file.seek(0)
@@ -400,6 +401,7 @@ def main() -> None:
             print(f"bench timed out after {watchdog_s}s (cpu child killed)",
                   file=sys.stderr)
         else:
+            reap_tmp = False  # abandoned child still owns its stdout file
             print(
                 f"bench timed out after {watchdog_s}s — child left running "
                 "(never kill mid-TPU-execution); reporting last real "
@@ -407,6 +409,11 @@ def main() -> None:
             )
     finally:
         out_file.close()
+        if reap_tmp:
+            try:
+                os.unlink(out_file.name)
+            except OSError:
+                pass
     # Timed out (or no record): report the last real measurement for THIS
     # exact (batch, size, A/B-toggle) measurement, marked stale.
     expected = _record({"fps": 0.0})

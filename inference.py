@@ -43,6 +43,8 @@ def main(argv=None) -> int:
         colorize_on_device=cfg.infer.colorize_on_device,
         upscale_on_host=cfg.infer.upscale_on_host,
         preprocess_on_host=cfg.infer.preprocess_on_host,
+        normalize_mean=cfg.data.normalize_mean,
+        normalize_std=cfg.data.normalize_std,
     )
     pipeline = VideoPipeline(
         predictor,

@@ -9,16 +9,20 @@ sanitizers (NaN debugging, strict rank promotion) are on for every test
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-    # XLA:CPU in-process collectives ABORT the process when participants
-    # miss a rendezvous by 40 s — on this 1-core host, 8 device threads
-    # time-slicing through a collective permute can exceed that (observed
-    # in dryrun_multichip; __graft_entry__.py has the full story).
-    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
-    + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
-).strip()
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    _flags += " --xla_force_host_platform_device_count=8"
+# XLA:CPU in-process collectives ABORT the process when participants
+# miss a rendezvous by 40 s — on this 1-core host, 8 device threads
+# time-slicing through a collective permute can exceed that (observed
+# in dryrun_multichip; __graft_entry__.py has the full story). An
+# explicit user/env setting wins (flags are last-wins, so don't append
+# a duplicate over it).
+if "collective_call_warn_stuck_timeout" not in _flags:
+    _flags += " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = _flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

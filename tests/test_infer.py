@@ -192,3 +192,27 @@ def test_predictor_mesh_sharded_equals_single(mesh8):
     with pytest.raises(ValueError, match="single-chip"):
         Predictor(ModelConfig(name="unet", base_filters=4, num_classes=10,
                               use_pallas=True), mesh=mesh8)
+
+
+def test_predictor_honors_custom_normalization():
+    """Predictor routes normalize_mean/std into the device preprocess —
+    training with non-ImageNet normalization must not silently serve with
+    ImageNet constants (train/serve skew)."""
+    import jax.numpy as jnp
+
+    from tpuseg.data.augment import normalize_images
+
+    cfg = ModelConfig(name="unet", base_filters=4, num_classes=10)
+    frames = np.random.RandomState(5).randint(0, 255, (2, 32, 64, 3), np.uint8)
+    mean, std = (0.5, 0.4, 0.3), (0.2, 0.25, 0.3)
+    pred = Predictor(cfg, input_hw=(32, 64), batch_size=2,
+                     normalize_mean=mean, normalize_std=std)
+    # same weights, manual custom-normalized forward == Predictor output
+    x = normalize_images(jnp.asarray(frames, jnp.float32), mean, std)
+    logits = pred.model.apply(
+        {"params": pred.variables["params"],
+         "batch_stats": pred.variables["batch_stats"]}, x, train=False)
+    expect = np.asarray(jnp.argmax(logits, axis=-1), np.uint8)
+    # if the Predictor ignored the custom constants it would normalize
+    # with ImageNet values and the class maps would disagree
+    np.testing.assert_array_equal(pred(frames), expect)

@@ -139,8 +139,13 @@ def main(argv=None) -> int:
             "batch": args.batch,
         }
         results[name] = rec["value"]
-        with open(args.history, "a") as f:
-            f.write(json.dumps({**rec, "t": time.time()}) + "\n")
+        # cpu runs (tests/smoke) never pollute the auditable history the
+        # A/B decisions cite; TPUSEG_BENCH_HISTORY overrides the target
+        # like bench.py/train_bench
+        history = os.environ.get("TPUSEG_BENCH_HISTORY", args.history)
+        if history and jax.devices()[0].platform != "cpu":
+            with open(history, "a") as f:
+                f.write(json.dumps({**rec, "t": time.time()}) + "\n")
         print(json.dumps(rec))
     if "argmax_only" in results:
         base = max(results["argmax_only"], 1e-9)

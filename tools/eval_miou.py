@@ -51,6 +51,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--samples", type=int, default=64,
                    help="synthetic only: number of val samples")
+    p.add_argument("--normalize_mean", default="",
+                   help='comma-separated, e.g. "0.5,0.5,0.5" — must match '
+                        "the training normalization (default: ImageNet)")
+    p.add_argument("--normalize_std", default="")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -119,19 +123,30 @@ def main(argv=None) -> int:
             "WARNING: no --checkpoint — evaluating a randomly initialized "
             "model (smoke test only)", file=sys.stderr,
         )
+    # pack the restored host tree to the device in ONE transfer — a
+    # host-resident tree re-uploads per eval_step call through the remote
+    # tunnel at one RPC per leaf (DESIGN §22)
+    from tpuseg.core.device_io import device_put_packed
+
+    variables = device_put_packed(variables)
     state = TrainState(
         step=0, apply_fn=model.apply, params=variables["params"],
         batch_stats=variables.get("batch_stats", {}), tx=None, opt_state=None,
     )
     eval_step = make_eval_step(args.num_classes)
 
+    mean = (tuple(float(v) for v in args.normalize_mean.split(","))
+            if args.normalize_mean else (0.485, 0.456, 0.406))
+    std = (tuple(float(v) for v in args.normalize_std.split(","))
+           if args.normalize_std else (0.229, 0.224, 0.225))
+
     cm = jnp.zeros((args.num_classes, args.num_classes), jnp.int32)
     loss_sum = jnp.float32(0.0)
     n_dev = jnp.float32(0.0)
     for images, masks, n_valid in pipeline.eval_batches():
         out = eval_step(
-            state, normalize_images(images), masks.astype(jnp.int32),
-            jnp.asarray(n_valid),
+            state, normalize_images(images, mean, std),
+            masks.astype(jnp.int32), jnp.asarray(n_valid),
         )
         cm = cm + out["confusion"]
         loss_sum = loss_sum + out["loss_sum"]

@@ -69,9 +69,7 @@ def init_on_host(init_fn, *args):
         return jax.tree.map(np.asarray, jax.jit(init_fn)(*args))
 
 
-def device_put_packed(
-    tree: Any, device=None, sharding=None, donate: bool = False
-) -> Any:
+def device_put_packed(tree: Any, device=None, sharding=None) -> Any:
     """Transfer a pytree in ONE buffer per dtype instead of one RPC per
     leaf.
 

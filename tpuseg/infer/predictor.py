@@ -90,6 +90,8 @@ class Predictor:
         upscale_on_host: bool = True,
         preprocess_on_host: bool = False,
         mesh=None,
+        normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406),
+        normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225),
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with a "data" axis shards each
         batch over the chips (params replicated, XLA partitions the whole
@@ -143,6 +145,10 @@ class Predictor:
         self.colorize_on_device = colorize_on_device or model_cfg.use_pallas
         self.upscale_on_host = upscale_on_host
         self.preprocess_on_host = preprocess_on_host
+        # Must match training normalization (DataConfig.normalize_mean/std)
+        # or the served model sees mis-normalized inputs — train/serve skew.
+        self.normalize_mean = tuple(normalize_mean)
+        self.normalize_std = tuple(normalize_std)
 
         from tpuseg.core.device_io import device_put_packed, init_on_host
 
@@ -194,7 +200,7 @@ class Predictor:
                 # (inference.py:30); skipped when the host already resized
                 # (preprocess_on_host) or frames arrive at model size
                 x = resize_bilinear(x, mh, mw, align_corners=False)
-            x = normalize_images(x)
+            x = normalize_images(x, self.normalize_mean, self.normalize_std)
             bound = {
                 "params": variables["params"],
                 "batch_stats": variables["batch_stats"],

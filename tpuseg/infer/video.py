@@ -45,8 +45,11 @@ class VideoPipeline:
         batches overlapped, which matters when per-dispatch latency (not
         compute) is the wall. With the async device->host copies below,
         depth 3 took the demo 107.7 -> 209.7 fps on this host's remote-TPU
-        tunnel (~85 ms/round trip; docs/DESIGN.md §19). Device memory cost
-        is ``depth`` output buffers (model-res uint8: ~0.5 MB each)."""
+        tunnel (~85 ms/round trip; docs/DESIGN.md §19). Transient cost is
+        ``depth + 1`` undelivered batches (the oldest flushes once `depth`
+        newer ones are in flight): that many device output buffers
+        (model-res uint8, ~0.5 MB each) plus their full-res host frame
+        copies."""
         self.predictor = predictor
         self.pipeline_depth = max(1, pipeline_depth)
         self.post_kwargs = dict(
@@ -221,6 +224,9 @@ class VideoPipeline:
             for arr in dev_out if isinstance(dev_out, tuple) else (dev_out,):
                 arr.copy_to_host_async()
             pending.append((frames_bgr, dev_out, n_valid))
+            # flush the oldest batch once `depth` NEWER ones are in flight:
+            # up to depth+1 batches (and their host frame copies) exist
+            # transiently, so depth=1 is classic double buffering
             if len(pending) > self.pipeline_depth:
                 stop = flush(pending.popleft())
             if stop:
