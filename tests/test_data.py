@@ -389,3 +389,32 @@ def test_packed_fast_path_equals_slow_path(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
         np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+
+def test_dir_source_pairs_by_stem_on_mismatch(fake_bdd):
+    """A missing mask in the middle of the sort order must not mispair
+    every later sample (review round 2: truncate-to-min paired image N
+    with mask N+1 for the whole tail)."""
+    import os
+
+    img_dir, mask_dir = fake_bdd
+    os.remove(os.path.join(mask_dir, "001.png"))  # hole in the MIDDLE
+    src = BDD100KSource(img_dir, mask_dir, width=64, height=32)
+    assert len(src) == 3
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in src.images]
+    mask_stems = [os.path.splitext(os.path.basename(p))[0] for p in src.masks]
+    assert stems == mask_stems == ["000", "002", "003"]
+
+
+def test_dir_source_no_stem_overlap_raises(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    img_dir = tmp_path / "images"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    rng = np.random.RandomState(0)
+    cv2.imwrite(str(img_dir / "a.jpg"), rng.randint(0, 255, (8, 8, 3), np.uint8))
+    cv2.imwrite(str(mask_dir / "b.png"), rng.randint(0, 5, (8, 8), np.uint8))
+    cv2.imwrite(str(mask_dir / "c.png"), rng.randint(0, 5, (8, 8), np.uint8))
+    with pytest.raises(FileNotFoundError, match="no filename stems match"):
+        BDD100KSource(str(img_dir), str(mask_dir), width=8, height=8)

@@ -582,3 +582,109 @@ def test_sigterm_handler_sets_flag():
         assert t._preempted is True  # handled, process still alive
     finally:
         restore()
+
+
+def test_producer_exception_propagates(tmp_path):
+    """A crashed loader must raise in the consumer, not masquerade as a
+    clean epoch end / completed val pass (review round 2)."""
+    from tpuseg.data.combined import CombinedDataset
+    from tpuseg.data.pipeline import InputPipeline
+    from tpuseg.data.sources import SyntheticSource
+
+    class Exploding(SyntheticSource):
+        def load(self, idx):
+            raise ValueError("boom: unreadable annotation")
+
+    combined = CombinedDataset([Exploding(16, 32, 16)], val_split=0.5)
+    pipe = InputPipeline(combined, batch_size=4, height=16, width=32)
+    with pytest.raises(ValueError, match="boom"):
+        list(pipe.train_batches(2))
+    with pytest.raises(ValueError, match="boom"):
+        list(pipe.eval_batches())
+    # and the failed pass must NOT freeze an (empty) eval cache
+    assert not isinstance(pipe._eval_cache, list)
+
+
+def test_best_miou_restored_on_resume(tmp_path, mesh8):
+    from tpuseg.train.trainer import Trainer
+
+    """After preemption+resume a WORSE model must not overwrite the best/
+    slot: the watermark is reloaded from best.json (review round 2)."""
+    import json as _json
+
+    argv = [
+        "--model.name=unet", "--model.base_filters=4", "--model.num_classes=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=2", "--train.lr=1e-3",
+        f"--train.checkpoint_dir={tmp_path}/ckpt",
+        "--data.val_split=0.25", "--train.log_every=0",
+    ]
+    cfg = load_config(argv)
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+    )
+    t = Trainer(cfg)
+    t.train()
+    t.ckpt.wait()
+    best = _json.load(open(f"{tmp_path}/ckpt/best.json"))
+    assert best["val_miou"] > float("-inf")
+
+    cfg2 = load_config(argv)
+    cfg2.data.sources = cfg.data.sources
+    t2 = Trainer(cfg2)
+    assert t2.maybe_resume()
+    assert t2._best_miou == pytest.approx(best["val_miou"])
+
+
+def test_cosine_horizon_uses_dataset_steps(tmp_path, mesh8):
+    from tpuseg.train.trainer import Trainer
+
+    """lr_schedule=cosine with steps_per_epoch=0 derives the decay horizon
+    from the dataset, not a 1000-step placeholder (review round 2)."""
+    argv = [
+        "--model.name=unet", "--model.base_filters=4", "--model.num_classes=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=3", "--train.lr=1e-3",
+        "--train.lr_schedule=cosine", "--train.warmup_steps=1",
+        "--data.val_split=0.0", "--train.log_every=0",
+    ]
+    cfg = load_config(argv)
+    assert cfg.train.steps_per_epoch == 0  # "derive from dataset"
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=32, weight=1.0),
+    )
+    t = Trainer(cfg)
+    assert t.steps_per_epoch() == 4  # 32 samples / batch 8
+    assert t._lr_total_steps == 3 * 4
+
+
+def test_trainer_spatial_mesh_end_to_end(tmp_path, mesh8):
+    from tpuseg.train.trainer import Trainer
+
+    """mesh.spatial=2 must actually shard H across the spatial axis (the
+    flag was silently ignored by the Trainer until review round 2) and
+    train to a finite loss end-to-end."""
+    argv = [
+        "--model.name=unet", "--model.base_filters=4", "--model.num_classes=4",
+        "--data.width=32", "--data.height=16",
+        "--mesh.data=4", "--mesh.spatial=2",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=2", "--train.lr=1e-3",
+        "--data.val_split=0.0", "--train.log_every=0",
+    ]
+    cfg = load_config(argv)
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+    )
+    t = Trainer(cfg)
+    assert t.mesh.shape == {"data": 4, "spatial": 2}
+    hist = t.train()
+    assert np.isfinite(hist[0]["train_loss"])
+
+    # indivisible height fails loudly instead of silently replicating
+    bad = load_config(argv)
+    bad.data.sources = cfg.data.sources
+    bad.data.height = 15
+    with pytest.raises(ValueError, match="spatial"):
+        Trainer(bad)

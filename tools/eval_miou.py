@@ -69,7 +69,6 @@ def main(argv=None) -> int:
     import numpy as np
 
     from tpuseg.configs import DatasetSourceConfig, ModelConfig
-    from tpuseg.data.augment import normalize_images
     from tpuseg.data.combined import CombinedDataset
     from tpuseg.data.pipeline import InputPipeline
     from tpuseg.data.sources import build_source
@@ -133,25 +132,27 @@ def main(argv=None) -> int:
         step=0, apply_fn=model.apply, params=variables["params"],
         batch_stats=variables.get("batch_stats", {}), tx=None, opt_state=None,
     )
-    eval_step = make_eval_step(args.num_classes)
-
     mean = (tuple(float(v) for v in args.normalize_mean.split(","))
             if args.normalize_mean else (0.485, 0.456, 0.406))
     std = (tuple(float(v) for v in args.normalize_std.split(","))
            if args.normalize_std else (0.229, 0.224, 0.225))
+    # normalize + cast fused into the jitted step: eager per-batch ops cost
+    # a remote-tunnel dispatch each (DESIGN §22)
+    eval_step = make_eval_step(args.num_classes, normalize=(mean, std))
 
-    cm = jnp.zeros((args.num_classes, args.num_classes), jnp.int32)
-    loss_sum = jnp.float32(0.0)
-    n_dev = jnp.float32(0.0)
+    import jax
+
+    outs = []
     for images, masks, n_valid in pipeline.eval_batches():
-        out = eval_step(
-            state, normalize_images(images, mean, std),
-            masks.astype(jnp.int32), jnp.asarray(n_valid),
-        )
-        cm = cm + out["confusion"]
-        loss_sum = loss_sum + out["loss_sum"]
-        n_dev = n_dev + out["n"]
-    n = float(n_dev)
+        outs.append(eval_step(state, images, masks, jnp.asarray(n_valid)))
+    if not outs:
+        print("ERROR: empty val split", file=sys.stderr)
+        return 1
+    # one jitted reduction instead of 3 eager device adds per batch
+    tot = jax.jit(
+        lambda os: jax.tree.map(lambda *xs: sum(xs[1:], start=xs[0]), *os)
+    )(outs)
+    cm, loss_sum, n = tot["confusion"], tot["loss_sum"], float(tot["n"])
     iou = np.asarray(iou_from_confusion(cm))
     print(json.dumps({
         "miou": float(mean_iou(cm)),

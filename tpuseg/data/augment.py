@@ -333,7 +333,7 @@ def _heavy_matrix(keys, height: int, width: int) -> jnp.ndarray:
 def _heavy_sample(img_u8, mask_u8, key, height: int, width: int):
     """The reference's full (never-wired) pipeline, src/augmentation.py:14-67,
     wired in for real: geometry (_heavy_matrix) + OneOf color(.5) + blur(.3)."""
-    keys = jax.random.split(key, 16)
+    keys = jax.random.split(key, 17)
     img = img_u8.astype(jnp.float32)
     m = _heavy_matrix(keys, height, width)
 
@@ -355,8 +355,10 @@ def _heavy_sample(img_u8, mask_u8, key, height: int, width: int):
     )
     img = jnp.where(do_color, colored, img)
 
-    # blur OneOf, p=.3
-    kb1, kb2 = jax.random.split(keys[15])
+    # blur OneOf, p=.3 — its OWN key: split(keys[15]) would alias the
+    # color ops' internal split-prefix (split(k, 2) == split(k, 4)[:2]),
+    # correlating the blur decision with the brightness/hue draws
+    kb1, kb2 = jax.random.split(keys[16])
     do_blur = jax.random.bernoulli(kb1, 0.3)
     img = jnp.where(do_blur, _blur3(img, kb2), img)
     return img, mask

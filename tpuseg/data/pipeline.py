@@ -176,6 +176,7 @@ class InputPipeline:
         (break / exception) stops the producer thread promptly."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        err: list = []  # producer exception, re-raised in the consumer
 
         def producer():
             try:
@@ -190,6 +191,8 @@ class InputPipeline:
                             continue
                     if stop.is_set():
                         return
+            except BaseException as e:  # surface loader crashes, never
+                err.append(e)          # swallow them as a clean epoch end
             finally:
                 while not stop.is_set():
                     try:
@@ -204,6 +207,8 @@ class InputPipeline:
             while True:
                 batch = q.get()
                 if batch is _STOP:
+                    if err:
+                        raise err[0]
                     break
                 yield self._put(batch)
         finally:
@@ -247,6 +252,8 @@ class InputPipeline:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        err: list = []  # producer exception, re-raised in the consumer
+
         def producer():
             try:
                 for item in self._eval_batches_host():
@@ -258,6 +265,8 @@ class InputPipeline:
                             continue
                     if stop.is_set():
                         return
+            except BaseException as e:  # a crashed loader must not look
+                err.append(e)          # like a completed val pass
             finally:
                 while not stop.is_set():
                     try:
@@ -274,6 +283,8 @@ class InputPipeline:
             while True:
                 item = q.get()
                 if item is _STOP:
+                    if err:
+                        raise err[0]
                     completed = True
                     break
                 imgs, msks, n = item

@@ -85,12 +85,30 @@ class _DirSource:
             )
         )
         if len(self.images) != len(self.masks):
+            # Pair by basename stem: truncating to min length would mispair
+            # EVERY sample after the first missing file (half the dataset
+            # training on wrong labels, silently).
+            def stem(p):
+                return os.path.splitext(os.path.basename(p))[0]
+
+            mask_by_stem = {stem(p): p for p in self.masks}
+            pairs = [(i, mask_by_stem[stem(i)])
+                     for i in self.images if stem(i) in mask_by_stem]
             log.warning(
-                "%s: %d images vs %d masks — pairing by sorted order up to min",
+                "%s: %d images vs %d masks — paired %d by filename stem, "
+                "dropped the rest",
                 type(self).__name__, len(self.images), len(self.masks),
+                len(pairs),
             )
-            n = min(len(self.images), len(self.masks))
-            self.images, self.masks = self.images[:n], self.masks[:n]
+            if not pairs:
+                raise FileNotFoundError(
+                    f"{type(self).__name__}: image/mask counts differ "
+                    f"({len(self.images)} vs {len(self.masks)}) and no "
+                    "filename stems match between "
+                    f"{self.img_dir!r} and {self.mask_dir!r}"
+                )
+            self.images = [p for p, _ in pairs]
+            self.masks = [p for _, p in pairs]
 
     def __len__(self) -> int:
         return len(self.images)

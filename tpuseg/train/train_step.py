@@ -15,7 +15,7 @@ asynchronously.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -245,16 +245,30 @@ def make_train_multi_step(
     )
 
 
-def make_eval_step(num_classes: int, mesh: Optional[Mesh] = None) -> Callable:
+def make_eval_step(
+    num_classes: int,
+    mesh: Optional[Mesh] = None,
+    normalize: Optional[Tuple] = None,
+) -> Callable:
     """Jitted eval: (state, images, labels, n_valid) -> metrics dict.
 
     ``n_valid`` masks zero-padded tail samples (the pipeline pads the last
     partial batch to keep shapes static). The confusion matrix is accumulated
     on device; callers sum the returned matrices over batches and derive
     mIoU / pixel-acc on host at the end (tpuseg.train.metrics).
+
+    ``normalize``: optional (mean, std) — the step then takes RAW uint8
+    images and labels and normalizes/casts INSIDE the jitted program. Eager
+    per-batch normalize/astype outside jit costs a remote-tunnel round trip
+    per op (~50-100 ms each — CLAUDE.md); fused, it is one dispatch total.
     """
 
     def eval_step(state: TrainState, images, labels, n_valid):
+        if normalize is not None:
+            from tpuseg.data.augment import normalize_images
+
+            images = normalize_images(images, normalize[0], normalize[1])
+            labels = labels.astype(jnp.int32)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images,

@@ -30,7 +30,7 @@ import numpy as np
 from tpuseg.configs import Config
 from tpuseg.core.checkpoint import CheckpointManager
 from tpuseg.core.mesh import create_mesh, local_device_kind
-from tpuseg.data.augment import make_augment_fn, normalize_images
+from tpuseg.data.augment import make_augment_fn
 from tpuseg.data.combined import CombinedDataset
 from tpuseg.data.pipeline import InputPipeline
 from tpuseg.data.sources import build_source
@@ -55,6 +55,15 @@ def _loss_list(x) -> list:
 log = logging.getLogger(__name__)
 
 
+@jax.jit
+def _tree_sum(outs):
+    """Reduce a list of same-structure metric pytrees in ONE dispatch.
+
+    jit caches per pytree structure (= per batch count), so each eval pass
+    after the first reuses the compiled reduction."""
+    return jax.tree.map(lambda *xs: sum(xs[1:], start=xs[0]), *outs)
+
+
 class Trainer:
     """Wires config -> mesh, model, pipeline, steps; runs train/eval."""
 
@@ -66,22 +75,9 @@ class Trainer:
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
-        self.model = build_model(cfg.model)
-        rng = jax.random.PRNGKey(cfg.train.seed)
-        tx = self._build_optimizer()
-        self.state = create_train_state(
-            self.model,
-            rng,
-            (1, cfg.data.height, cfg.data.width, 3),
-            lr=cfg.train.lr,
-            b1=cfg.train.b1,
-            b2=cfg.train.b2,
-            eps=cfg.train.eps,
-            tx=tx,
-        )
-        if cfg.train.init_checkpoint:
-            self._load_init_checkpoint(cfg.train.init_checkpoint)
-
+        # Dataset/pipeline BEFORE the optimizer: a cosine schedule's horizon
+        # needs the dataset-derived steps_per_epoch when the config leaves
+        # it at 0 ("derive from dataset size").
         if combined is None:
             sources = [
                 build_source(s, cfg.data.width, cfg.data.height)
@@ -101,6 +97,14 @@ class Trainer:
                 f"batch_size {cfg.train.batch_size} must be divisible by the "
                 f"mesh data axis ({self.mesh.shape['data']} devices)"
             )
+        # mesh.spatial > 1 shards the H dim across the "spatial" axis —
+        # checked BEFORE model init so an indivisible height fails fast
+        spatial = self.mesh.shape.get("spatial", 1) > 1
+        if spatial and cfg.data.height % self.mesh.shape["spatial"] != 0:
+            raise ValueError(
+                f"data.height {cfg.data.height} must be divisible by the "
+                f"mesh spatial axis ({self.mesh.shape['spatial']})"
+            )
         self.combined = combined
         log.info("%s", combined.summary())
         self.pipeline = InputPipeline(
@@ -118,6 +122,22 @@ class Trainer:
             [round(float(p), 4) for p in self.pipeline.sampler.probs],
         )
 
+        self.model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        tx = self._build_optimizer()
+        self.state = create_train_state(
+            self.model,
+            rng,
+            (1, cfg.data.height, cfg.data.width, 3),
+            lr=cfg.train.lr,
+            b1=cfg.train.b1,
+            b2=cfg.train.b2,
+            eps=cfg.train.eps,
+            tx=tx,
+        )
+        if cfg.train.init_checkpoint:
+            self._load_init_checkpoint(cfg.train.init_checkpoint)
+
         self.augment = make_augment_fn(
             cfg.data.height, cfg.data.width, heavy=cfg.data.heavy_augment,
             augment=cfg.data.augment,
@@ -128,6 +148,9 @@ class Trainer:
         # each dispatch through the remote-TPU tunnel costs ~50-100 ms), and
         # steps_per_dispatch>1 scan-chains K steps into one dispatch.
         self.steps_per_dispatch = max(1, cfg.train.steps_per_dispatch)
+        # spatial=True (computed above) or the step factories shard
+        # batch-only and the spatial axis silently replicates (half the
+        # chips redoing identical work)
         if self.steps_per_dispatch > 1:
             from tpuseg.train.train_step import make_train_multi_step
 
@@ -135,15 +158,22 @@ class Trainer:
                 self.steps_per_dispatch,
                 mesh=self.mesh,
                 remat=cfg.train.remat,
+                spatial=spatial,
                 augment_fn=self.augment,
             )
         else:
             self.train_step = make_train_step(
                 mesh=self.mesh,
                 remat=cfg.train.remat,
+                spatial=spatial,
                 augment_fn=self.augment,
             )
-        self.eval_step = make_eval_step(cfg.model.num_classes, mesh=self.mesh)
+        # normalization + label cast run INSIDE the jitted eval step (eager
+        # per-batch ops each cost a remote-tunnel dispatch — CLAUDE.md)
+        self.eval_step = make_eval_step(
+            cfg.model.num_classes, mesh=self.mesh,
+            normalize=(cfg.data.normalize_mean, cfg.data.normalize_std),
+        )
 
         self.ckpt: Optional[CheckpointManager] = None
         self.best_ckpt: Optional[CheckpointManager] = None
@@ -202,7 +232,10 @@ class Trainer:
             return None
         lr = cfg.lr
         if cfg.lr_schedule == "cosine":
-            total = max(1, cfg.epochs * (cfg.steps_per_epoch or 1000))
+            # dataset-derived when steps_per_epoch is 0 (__init__ builds the
+            # pipeline before the optimizer for exactly this)
+            total = max(1, cfg.epochs * self.steps_per_epoch())
+            self._lr_total_steps = total  # observability + tests
             lr = optax.warmup_cosine_decay_schedule(
                 init_value=0.0,
                 peak_value=cfg.lr,
@@ -323,7 +356,18 @@ class Trainer:
                 }
             }
         )
-        log.info("resumed from step %d", self.step)
+        # Restore the best-mIoU watermark, or the first post-resume eval
+        # (however bad) would overwrite the best/ slot and best.json.
+        best_json = os.path.join(self.cfg.train.checkpoint_dir, "best.json")
+        if os.path.exists(best_json):
+            try:
+                with open(best_json) as f:
+                    self._best_miou = float(json.load(f)["val_miou"])
+            except (ValueError, KeyError, OSError):
+                log.warning("unreadable best.json; best watermark reset")
+        log.info("resumed from step %d (best val_miou %s)", self.step,
+                 None if self._best_miou == float("-inf")
+                 else round(self._best_miou, 4))
         return True
 
     # -- loops ---------------------------------------------------------------
@@ -402,7 +446,8 @@ class Trainer:
                     self.epoch = epoch + 1
                     self._epoch_end(epoch, [], 0.0, 0)
                     continue
-                batches = self.pipeline.train_batches(steps_this)
+                batch_gen = self.pipeline.train_batches(steps_this)
+                batches = batch_gen
                 if cfg.progress:
                     try:
                         from tqdm import tqdm
@@ -449,6 +494,12 @@ class Trainer:
                     if self._preempted:
                         break
                 if self._preempted:
+                    # STOP the producer thread before touching the sampler:
+                    # breaking out of the loop does not close the generator,
+                    # and save_checkpoint would otherwise snapshot the RNG
+                    # while the producer is still mutating it (a torn
+                    # MT19937 state that never existed)
+                    batch_gen.close()
                     # mid-epoch checkpoint: step/sampler state land after the
                     # last completed dispatch group, so resume replays no
                     # trained batch (the sampler RNG may have advanced past
@@ -530,23 +581,19 @@ class Trainer:
 
     def evaluate(self) -> Dict[str, float]:
         """Full pass over the val split: loss, pixel acc, per-class IoU, mIoU."""
-        num_classes = self.cfg.model.num_classes
-        cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-        # accumulate ON DEVICE; one host fetch after the loop (a per-batch
-        # float() fetch costs a remote-tunnel round trip per batch)
-        loss_sum = jnp.float32(0.0)
-        n_dev = jnp.float32(0.0)
+        # ONE dispatch per batch (normalize/cast fused into eval_step), the
+        # per-batch outputs stay on device, and ONE jitted tree-sum reduces
+        # them at the end; the only host fetches are the three final scalars
+        outs = []
         for images, masks, n_valid in self.pipeline.eval_batches():
-            x = normalize_images(
-                images, self.cfg.data.normalize_mean, self.cfg.data.normalize_std
+            outs.append(
+                self.eval_step(self.state, images, masks, jnp.asarray(n_valid))
             )
-            out = self.eval_step(
-                self.state, x, masks.astype(jnp.int32), jnp.asarray(n_valid)
-            )
-            cm = cm + out["confusion"]
-            loss_sum = loss_sum + out["loss_sum"]
-            n_dev = n_dev + out["n"]
-        loss_sum, n = float(loss_sum), float(n_dev)
+        if not outs:
+            return {}
+        tot = _tree_sum(outs)
+        cm = tot["confusion"]
+        loss_sum, n = float(tot["loss_sum"]), float(tot["n"])
         if n == 0:
             return {}
         iou = np.asarray(iou_from_confusion(cm))
