@@ -256,3 +256,23 @@ def test_int8_path_inactive_without_quant_collection(trained_like_variables, x):
     out = m.apply(v, x, train=False)
     out2 = m.apply(v, x, train=False)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_fp16_export_ships_fp16_constants(trained_like_variables, tmp_path):
+    """dtype=float16 must fold BN FIRST and cast SECOND: casting before the
+    fold re-materialized every folded kernel as float32, so the 'fp16'
+    artifact silently shipped 4-byte constants (review round 2). The size
+    ratio is the tell."""
+    m, v = trained_like_variables
+    d32, _ = export_model(m, v, 32, 64, str(tmp_path / "m32.stablehlo"),
+                          batch=2, dtype="float32")
+    d16, _ = export_model(m, v, 32, 64, str(tmp_path / "m16.stablehlo"),
+                          batch=2, dtype="float16")
+    # weights dominate the artifact; fp16 constants should cut it well
+    # below 75% of the fp32 size (ideally ~50% + fixed overhead)
+    assert len(d16) < 0.75 * len(d32), (len(d16), len(d32))
+    # and it still runs close to the fp32 forward
+    x = np.random.RandomState(0).rand(2, 32, 64, 3).astype(np.float32)
+    out16 = np.asarray(load_exported(str(tmp_path / "m16.stablehlo"))(x))
+    ref = np.asarray(m.apply(v, x, train=False))
+    assert np.mean(np.argmax(out16, -1) == np.argmax(ref, -1)) > 0.98

@@ -64,6 +64,10 @@ def batch_sharding(mesh: Mesh, spatial_dim: Optional[int] = None) -> NamedShardi
     dim on "spatial")."""
     if spatial_dim is None:
         return NamedSharding(mesh, P("data"))
+    if spatial_dim == 0:
+        # would silently overwrite the "data" entry and drop data
+        # parallelism (every data-axis device recomputing the full batch)
+        raise ValueError("spatial_dim must be >= 1 (dim 0 is the batch)")
     spec = [None] * (spatial_dim + 1)
     spec[0] = "data"
     spec[spatial_dim] = "spatial"

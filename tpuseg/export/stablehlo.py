@@ -55,13 +55,18 @@ def export_model(
 
     Returns (serialized bytes, the Exported object). Writes to ``path``.
     """
+    # Fold FIRST, cast SECOND: fold_batchnorm re-materializes folded
+    # kernels/biases as float32, so casting before folding would ship an
+    # "fp16" artifact whose constants are all 4-byte fp32 (fp16-rounded) —
+    # and fold on pre-rounded kernels besides.
+    variables, serving = make_serving_fn(model, variables, fold_bn=fold_bn)
     if dtype in ("float16", "bfloat16"):
         variables = dict(variables)
         variables["params"] = cast_params(
             variables["params"],
             jnp.float16 if dtype == "float16" else jnp.bfloat16,
         )
-    variables, serving = make_serving_fn(model, variables, fold_bn=fold_bn)
+        _, serving = make_serving_fn(model, variables, fold_bn=False)
 
     if batch == -1:
         (b,) = jax_export.symbolic_shape("b")

@@ -181,6 +181,14 @@ class ConvBNAct(nn.Module):
                 and self.has_variable("params", "conv")
                 and x.shape[1] % 2 == 0
                 and x.shape[2] % 2 == 0
+                # the space-to-depth rewrite is the exact equivalent ONLY of
+                # an unbiased 3x3 stride-2 conv — any other config routes to
+                # the plain conv (stem_s2d is a numerics-preserving
+                # apply-time path, CLAUDE.md invariant)
+                and tuple(self.kernel) == (3, 3)
+                and tuple(self.strides) == (2, 2)
+                and not self.use_bias
+                and self.groups == 1
             ):
                 x = self._s2d_conv(x)
             else:

@@ -91,13 +91,22 @@ def gather2(
     uint8 with the batch as the leading dim.
     """
     lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native loader unavailable — check available() and take the "
+            "numpy fallback (make -C native builds it)")
+    if not (hasattr(images, "ctypes") and hasattr(masks, "ctypes")):
+        # a None pointer would send C memcpy reading from address
+        # idx*img_bytes — segfault, not a Python error
+        raise TypeError("gather2 requires ndarray/memmap inputs")
     n = int(indices.shape[0])
     img_bytes = int(np.prod(images.shape[1:]))
     msk_bytes = int(np.prod(masks.shape[1:]))
+    if img_out.shape[0] < n or msk_out.shape[0] < n:
+        raise ValueError("gather2: output batch smaller than indices")
     idx = np.ascontiguousarray(indices, np.int64)
     # ctypes.c_void_p from the memmap's buffer (no copy)
-    img_src = images.ctypes.data if hasattr(images, "ctypes") else None
-    msk_src = masks.ctypes.data
     lib.tpuseg_gather2(
-        img_src, img_bytes, msk_src, msk_bytes, idx, n, img_out, msk_out
+        images.ctypes.data, img_bytes, masks.ctypes.data, msk_bytes,
+        idx, n, img_out, msk_out,
     )

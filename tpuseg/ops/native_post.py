@@ -38,40 +38,51 @@ def _load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     for p in _LIB_PATHS:
         if os.path.exists(p):
-            lib = ctypes.CDLL(os.path.abspath(p))
-            lib.tpuseg_morph_close.argtypes = [
-                _u8p, _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int
-            ]
-            lib.tpuseg_keep_largest.restype = ctypes.c_int32
-            lib.tpuseg_keep_largest.argtypes = [
-                _u8p, _u8p, ctypes.c_int, ctypes.c_int
-            ]
-            lib.tpuseg_label_components.restype = ctypes.c_int32
-            lib.tpuseg_label_components.argtypes = [
-                _u8p, _i32p, ctypes.c_int, ctypes.c_int
-            ]
-            lib.tpuseg_component_boxes.restype = ctypes.c_int32
-            lib.tpuseg_component_boxes.argtypes = [
-                _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
-                _i32p, ctypes.c_int32,
-            ]
-            lib.tpuseg_clean_road.restype = ctypes.c_int32
-            lib.tpuseg_clean_road.argtypes = [
-                _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_uint8, ctypes.c_int
-            ]
-            lib.tpuseg_colorize.argtypes = [
-                _u8p, _u8p, ctypes.c_int, _u8p, ctypes.c_int, ctypes.c_int
-            ]
-            lib.tpuseg_blend.argtypes = [
-                _u8p, _u8p, _u8p, ctypes.c_int, ctypes.c_float
-            ]
-            if hasattr(lib, "tpuseg_colorize_blend"):
-                lib.tpuseg_colorize_blend.argtypes = [
-                    _u8p, _u8p, _u8p, _u8p, ctypes.c_int
-                ]
+            try:
+                lib = _bind(ctypes.CDLL(os.path.abspath(p)))
+            except (OSError, AttributeError):
+                # stale/partial .so (missing symbols, wrong arch): take the
+                # cv2 fallback instead of crashing callers of available()
+                continue
             _LIB = lib
             break
     return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare every entry point's signature; raises AttributeError on a
+    stale .so missing one (caught by _load -> cv2 fallback)."""
+    lib.tpuseg_morph_close.argtypes = [
+        _u8p, _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int
+    ]
+    lib.tpuseg_keep_largest.restype = ctypes.c_int32
+    lib.tpuseg_keep_largest.argtypes = [
+        _u8p, _u8p, ctypes.c_int, ctypes.c_int
+    ]
+    lib.tpuseg_label_components.restype = ctypes.c_int32
+    lib.tpuseg_label_components.argtypes = [
+        _u8p, _i32p, ctypes.c_int, ctypes.c_int
+    ]
+    lib.tpuseg_component_boxes.restype = ctypes.c_int32
+    lib.tpuseg_component_boxes.argtypes = [
+        _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+        _i32p, ctypes.c_int32,
+    ]
+    lib.tpuseg_clean_road.restype = ctypes.c_int32
+    lib.tpuseg_clean_road.argtypes = [
+        _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_uint8, ctypes.c_int
+    ]
+    lib.tpuseg_colorize.argtypes = [
+        _u8p, _u8p, ctypes.c_int, _u8p, ctypes.c_int, ctypes.c_int
+    ]
+    lib.tpuseg_blend.argtypes = [
+        _u8p, _u8p, _u8p, ctypes.c_int, ctypes.c_float
+    ]
+    if hasattr(lib, "tpuseg_colorize_blend"):
+        lib.tpuseg_colorize_blend.argtypes = [
+            _u8p, _u8p, _u8p, _u8p, ctypes.c_int
+        ]
+    return lib
 
 
 def available() -> bool:
@@ -83,6 +94,10 @@ def morph_close(mask: np.ndarray, kernel_size: int = 5) -> np.ndarray:
     0/255 out)."""
     lib = _load()
     assert lib is not None
+    assert kernel_size % 2 == 1, (
+        "kernel_size must be odd: the C++ close uses a symmetric radius, "
+        "an even size would silently run (k+1)x(k+1) while the cv2 "
+        "fallback uses a true k x k kernel")
     mask = np.ascontiguousarray(mask, np.uint8)
     out = np.empty_like(mask)
     lib.tpuseg_morph_close(
@@ -128,6 +143,7 @@ def clean_road(classes: np.ndarray, road_class: int = 1, kernel_size: int = 5
     """Fused close + keep-largest + stamp, C++ single pass; returns new map."""
     lib = _load()
     assert lib is not None
+    assert kernel_size % 2 == 1, "kernel_size must be odd (see morph_close)"
     out = np.ascontiguousarray(classes, np.uint8).copy()
     lib.tpuseg_clean_road(
         out, out.shape[0], out.shape[1], road_class, kernel_size // 2
@@ -153,6 +169,8 @@ def blend(a: np.ndarray, b: np.ndarray, alpha: float) -> np.ndarray:
     assert lib is not None
     a = np.ascontiguousarray(a, np.uint8)
     b = np.ascontiguousarray(b, np.uint8)
+    if a.shape != b.shape:
+        raise ValueError(f"blend: shape mismatch {a.shape} vs {b.shape}")
     out = np.empty_like(a)
     lib.tpuseg_blend(a, b, out, a.size, alpha)
     return out
@@ -191,6 +209,16 @@ def colorize_blend(
     frame_bgr = np.ascontiguousarray(frame_bgr, np.uint8)
     classes = np.ascontiguousarray(classes, np.uint8)
     lut = np.ascontiguousarray(lut, np.uint8)
+    # validate BEFORE handing pointers to C++: a model-res class map with a
+    # video-res frame would write past the output buffer (heap corruption),
+    # where the cv2 fallback raises a broadcast error
+    if frame_bgr.shape[:-1] != classes.shape or frame_bgr.shape[-1] != 3:
+        raise ValueError(
+            f"colorize_blend: frame {frame_bgr.shape} does not match "
+            f"classes {classes.shape} (upscale the class map first)")
+    if lut.shape != (256, 3, 256):
+        raise ValueError(f"colorize_blend: lut must be (256, 3, 256), "
+                         f"got {lut.shape}")
     out = np.empty_like(frame_bgr)
     lib.tpuseg_colorize_blend(
         frame_bgr, classes, lut, out, classes.size

@@ -64,15 +64,6 @@ def _bilinear_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _nearest_matrix(n_in: int, n_out: int) -> np.ndarray:
-    """[n_out, n_in] 0/1 selection matrix for cv2/torch nearest semantics."""
-    i = np.arange(n_out, dtype=np.float64)
-    src = np.minimum(np.floor(i * (n_in / n_out)), n_in - 1).astype(np.int64)
-    A = np.zeros((n_out, n_in), dtype=np.float32)
-    A[np.arange(n_out), src] = 1.0
-    return A
-
-
 @functools.lru_cache(maxsize=None)
 def _bilinear_taps(n_in: int, n_out: int, align_corners: bool):
     """(lo_idx, hi_idx, frac) int32/float32 arrays for 2-tap interpolation."""
