@@ -40,14 +40,36 @@ def main(argv=None) -> int:
     def init_fn():
         import jax
 
-        v = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, cfg.data.height, cfg.data.width, 3)),
-            train=False,
-        )
-        return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+        from tpuseg.core.device_io import init_on_host
+
+        # one host-side init program; eager init on the remote device costs
+        # a tunnel round trip per op (CLAUDE.md / core.device_io)
+        def _init():
+            v = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.data.height, cfg.data.width, 3)),
+                train=False,
+            )
+            return {
+                "params": v["params"],
+                "batch_stats": v.get("batch_stats", {}),
+            }
+
+        return init_on_host(_init)
 
     variables = load_variables(cfg.export.checkpoint, cfg.model.name, init_fn)
+    if "quant" in variables and cfg.export.format != "quantized":
+        # the StableHLO/TF serving fn binds only params/batch_stats, so the
+        # calibrated int8 path would be silently dropped and an fp32 graph
+        # shipped as "validated"
+        print(
+            "ERROR: checkpoint carries a calibrated 'quant' collection "
+            f"(full-int8 artifact) — format {cfg.export.format!r} would "
+            "silently export its fp32 weights instead. Serve it directly "
+            "with inference.py --infer.checkpoint=<dir>, or re-export from "
+            "the original fp32 checkpoint."
+        )
+        return 1
 
     if cfg.export.dtype == "int8":
         from tpuseg.export.quantize import dequantize_int8, quantize_int8
@@ -79,10 +101,14 @@ def main(argv=None) -> int:
     )
     print(f"Exported {len(data)} bytes of StableHLO to {cfg.export.output}")
 
-    # round-trip self-check (the reference's onnx.checker analogue)
+    # round-trip self-check (the reference's onnx.checker analogue); a
+    # static-batch artifact only accepts exactly its exported batch size
     call = load_exported(cfg.export.output)
+    check_batch = 2 if cfg.export.batch == -1 else cfg.export.batch
     x = jnp.asarray(
-        np.random.RandomState(0).rand(2, cfg.data.height, cfg.data.width, 3),
+        np.random.RandomState(0).rand(
+            check_batch, cfg.data.height, cfg.data.width, 3
+        ),
         jnp.float32,
     )
     out = call(x)

@@ -110,13 +110,32 @@ def main(argv=None) -> int:
     def init_fn():
         import jax
 
-        v = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, args.height, args.width, 3)), train=False,
-        )
-        return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+        from tpuseg.core.device_io import init_on_host
+
+        def _init():
+            v = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.height, args.width, 3)), train=False,
+            )
+            return {
+                "params": v["params"],
+                "batch_stats": v.get("batch_stats", {}),
+            }
+
+        # one host-side program (eager remote init = per-op round trips)
+        return init_on_host(_init)
 
     variables = load_variables(args.checkpoint, args.model, init_fn)
+    if "quant" in variables:
+        # make_eval_step binds only params/batch_stats — the int8 path
+        # would silently not run and the printed mIoU would be the fp32
+        # weights' score attributed to the quantized artifact
+        print(
+            "ERROR: checkpoint carries a calibrated 'quant' collection — "
+            "evaluate int8 accuracy with tools/eval_quantized.py instead",
+            file=sys.stderr,
+        )
+        return 1
     if not args.checkpoint:
         print(
             "WARNING: no --checkpoint — evaluating a randomly initialized "

@@ -62,11 +62,23 @@ def main(argv=None) -> int:
     model = build_model(ModelConfig(name=args.model, up_subpixel=False))
 
     def init_fn():
-        v = model.init(jax.random.PRNGKey(0),
-                       jnp.zeros((1, args.height, args.width, 3)), train=False)
-        return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+        from tpuseg.core.device_io import init_on_host
+
+        def _init():
+            v = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.height, args.width, 3)), train=False)
+            return {"params": v["params"],
+                    "batch_stats": v.get("batch_stats", {})}
+
+        return init_on_host(_init)
 
     base = load_variables(args.checkpoint, args.model, init_fn)
+    # a calibrated int8_full artifact carries a "quant" collection; the
+    # fp32 BASELINE must not bind it (predict() binds quant whenever the
+    # key exists, so every delta would compare int8 against int8)
+    base = {"params": base["params"],
+            "batch_stats": base.get("batch_stats", {})}
 
     variants = {
         "fp32": base,

@@ -76,9 +76,13 @@ def main(argv=None) -> int:
         model = build_model(
             ModelConfig(name=args.model, num_classes=args.num_classes)
         )
-        init = model.init(
+        from tpuseg.core.device_io import init_on_host
+
+        # one host-side init program (eager remote init = minutes of
+        # per-op tunnel round trips, CLAUDE.md / core.device_io)
+        init = init_on_host(lambda: model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
-        )
+        ))
         enc = import_torchvision_encoder(sd)
         variables = {
             "params": merge_variables(

@@ -285,8 +285,14 @@ class Predictor:
             classes = upscale_nearest_host(classes, fh, fw)
         return classes
 
-    def predict_async(self, frames: np.ndarray):
+    def predict_async(self, frames: np.ndarray, out_hw=None):
         """Dispatch without host sync; returns the device array (fetch with
-        np.asarray when needed) — the double-buffering hook for VideoPipeline."""
-        fn = self._fn_for((frames.shape[1], frames.shape[2]))
+        np.asarray when needed) — the double-buffering hook for VideoPipeline.
+
+        ``out_hw``: the TRUE output frame size when the caller already
+        downscaled the frames (VideoPipeline's preprocess_on_host path) —
+        keys the jit cache and, without upscale_on_host, the device
+        upscale target. Defaults to the frames' own size."""
+        fh, fw = out_hw if out_hw is not None else frames.shape[1:3]
+        fn = self._fn_for((fh, fw))
         return fn(self.variables, jnp.asarray(self._maybe_host_resize(frames)))

@@ -78,21 +78,35 @@ class VideoPipeline:
 
     # -- batched video -------------------------------------------------------
 
-    def _read_batches(self, cap, batch: int, out_q: queue.Queue, max_frames):
+    def _read_batches(self, cap, batch: int, out_q: queue.Queue, max_frames,
+                      stop_ev: threading.Event):
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer stopped (early
+            # 'q' quit): a plain blocking put would leave this thread
+            # parked on the full queue for the process lifetime
+            while not stop_ev.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         frames = []
         n = 0
-        while True:
+        while not stop_ev.is_set():
             ok, frame = cap.read()
             if not ok or (max_frames and n >= max_frames):
                 break
             frames.append(frame)
             n += 1
             if len(frames) == batch:
-                out_q.put(frames)
+                if not put(frames):
+                    return
                 frames = []
         if frames:
-            out_q.put(frames)
-        out_q.put(_STOP)
+            put(frames)
+        put(_STOP)
 
     def run(
         self,
@@ -117,9 +131,10 @@ class VideoPipeline:
 
         batch = self.predictor.batch_size
         q_in: queue.Queue = queue.Queue(maxsize=2)
+        stop_reading = threading.Event()
         reader = threading.Thread(
             target=self._read_batches,
-            args=(cap, batch, q_in, max_frames),
+            args=(cap, batch, q_in, max_frames, stop_reading),
             daemon=True,
             name="tpuseg-video-reader",
         )
@@ -138,15 +153,37 @@ class VideoPipeline:
         pending = deque()  # (frames_bgr, device_classes, n_valid) in flight
         stop = False
 
+        def prepare(frames_list):
+            """BGR frame list -> contiguous RGB batch array (+ true frame
+            hw). With preprocess_on_host the cv2 downscale runs BEFORE the
+            flip/stack so the host copies model-res bytes, not frame-res
+            (the flip is channel-wise; it commutes with the spatial
+            resize exactly)."""
+            fh, fw = frames_list[0].shape[:2]
+            if self.predictor.preprocess_on_host:
+                import cv2 as _cv2
+
+                mh, mw = self.predictor.input_hw
+                rgb = np.stack(
+                    [_cv2.resize(f, (mw, mh),
+                                 interpolation=_cv2.INTER_LINEAR)
+                     for f in frames_list]
+                )[..., ::-1]
+            else:
+                rgb = np.stack(frames_list)[..., ::-1]
+            return np.ascontiguousarray(rgb), (fh, fw)
+
         # Warm-up: compile the jitted program on the first batch BEFORE the
         # clock starts (first XLA compile is tens of seconds on this
-        # backend and would dominate short clips); the batch is then
-        # processed normally below.
+        # backend and would dominate short clips) — prepared EXACTLY like
+        # the steady-state batches so it hits the same jit cache key (a
+        # mismatched warm-up would push a second compile inside the timed
+        # region). The batch is then processed normally below.
         first = q_in.get()
         if first is not _STOP:
             pad = first + [first[-1]] * (batch - len(first))
-            rgb0 = np.ascontiguousarray(np.stack(pad)[..., ::-1])
-            warm = self.predictor.predict_async(rgb0)
+            rgb0, fhw0 = prepare(pad)
+            warm = self.predictor.predict_async(rgb0, out_hw=fhw0)
             np.asarray(warm[0] if isinstance(warm, tuple) else warm)
         t0 = time.perf_counter()
 
@@ -204,21 +241,8 @@ class VideoPipeline:
             n_valid = len(frames_bgr)
             if n_valid < batch:  # pad last batch to keep shapes static
                 frames_bgr = frames_bgr + [frames_bgr[-1]] * (batch - n_valid)
-            if self.predictor.preprocess_on_host:
-                # resize BEFORE the BGR->RGB flip/stack so the host copies
-                # model-res bytes, not frame-res (the flip is channel-wise;
-                # it commutes with cv2's spatial resize exactly)
-                import cv2 as _cv2
-
-                mh, mw = self.predictor.input_hw
-                rgb = np.stack(
-                    [_cv2.resize(f, (mw, mh),
-                                 interpolation=_cv2.INTER_LINEAR)
-                     for f in frames_bgr]
-                )[..., ::-1]
-            else:
-                rgb = np.stack(frames_bgr)[..., ::-1]
-            dev_out = self.predictor.predict_async(np.ascontiguousarray(rgb))
+            rgb, fhw = prepare(frames_bgr)
+            dev_out = self.predictor.predict_async(rgb, out_hw=fhw)
             # start the device->host copy as soon as compute finishes, so
             # the flush's np.asarray only waits, never initiates
             for arr in dev_out if isinstance(dev_out, tuple) else (dev_out,):
@@ -237,13 +261,16 @@ class VideoPipeline:
         while pending and not stop:
             stop = flush(pending.popleft())
 
+        # clock stops BEFORE teardown: the reader join / release costs are
+        # not processing time and would deflate the reported fps
+        dt = time.perf_counter() - t0
+        stop_reading.set()  # unblock a reader parked on the full queue
         reader.join(timeout=5)
         cap.release()
         if writer is not None:
             writer.release()
         if display:
             cv2.destroyAllWindows()
-        dt = time.perf_counter() - t0
         stats["seconds"] = dt
         stats["fps"] = stats["frames"] / dt if dt > 0 else 0.0
         stats["phases"] = {k: round(v, 3) for k, v in phases.items()}
