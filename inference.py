@@ -58,6 +58,7 @@ def main(argv=None) -> int:
         cfg.infer.video,
         output_path=cfg.infer.output,
         display=cfg.infer.display,
+        max_frames=cfg.infer.max_frames or None,
     )
     print(json.dumps(stats))
     return 0

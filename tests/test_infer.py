@@ -216,3 +216,44 @@ def test_predictor_honors_custom_normalization():
     # if the Predictor ignored the custom constants it would normalize
     # with ImageNet values and the class maps would disagree
     np.testing.assert_array_equal(pred(frames), expect)
+
+
+def test_inference_cli_max_frames(tmp_path):
+    """The inference.py entry point honors --infer.max_frames (bounded
+    benchmark/smoke runs) end-to-end through its flag system."""
+    import importlib.util
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    src = str(tmp_path / "in.mp4")
+    wr = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (100, 60))
+    rng = np.random.RandomState(4)
+    for _ in range(12):
+        wr.write(rng.randint(0, 255, (60, 100, 3), np.uint8))
+    wr.release()
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "inference_cli", _os.path.join(repo, "inference.py"))
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules[spec.name] = mod
+    try:
+        spec.loader.exec_module(mod)
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = mod.main([
+                "--platform=cpu",
+                "--model.name=unet", "--model.base_filters=4",
+                "--data.width=64", "--data.height=32",
+                f"--infer.video={src}", "--infer.batch_size=4",
+                "--infer.max_frames=8",
+            ])
+    finally:
+        _sys.modules.pop(spec.name, None)
+    assert rc == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["frames"] == 8

@@ -172,6 +172,8 @@ class InferConfig:
     # batches in flight on the device before the host blocks on a fetch
     # (1 = classic double buffering); deeper overlaps per-dispatch latency.
     pipeline_depth: int = 3
+    # stop after N frames (0 = whole video) — bounded benchmark/smoke runs
+    max_frames: int = 0
     # postprocess toggles (reference inference.py:75-141)
     road_cleanup: bool = True            # morphology close + keep-largest-CC
     car_boxes: bool = True               # contour bboxes + distance labels
