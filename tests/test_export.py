@@ -56,10 +56,12 @@ def test_fold_batchnorm_exact(trained_like_variables, x):
     out = m.apply(folded, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
-    # BN params are identity after folding
-    leaf = folded["params"]["inc"]["conv1"]["bn"]
-    np.testing.assert_array_equal(np.asarray(leaf["scale"]), 1.0)
-    np.testing.assert_array_equal(np.asarray(leaf["bias"]), 0.0)
+    # BN scale is identity after folding; the shift lives in the BN bias
+    # (NOT a conv bias — use_bias=False convs would silently drop it) and
+    # any pre-existing conv bias zeroes out
+    leaf = folded["params"]["inc"]["conv1"]
+    np.testing.assert_array_equal(np.asarray(leaf["bn"]["scale"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(leaf["conv"]["bias"]), 0.0)
 
 
 def test_int8_weight_roundtrip(trained_like_variables, x):
@@ -276,3 +278,31 @@ def test_fp16_export_ships_fp16_constants(trained_like_variables, tmp_path):
     out16 = np.asarray(load_exported(str(tmp_path / "m16.stablehlo"))(x))
     ref = np.asarray(m.apply(v, x, train=False))
     assert np.mean(np.argmax(out16, -1) == np.argmax(ref, -1)) > 0.98
+
+
+def test_fold_batchnorm_biasfree_conv_keeps_shift():
+    """The folded BN shift must survive for use_bias=False convs (the whole
+    MobileNetV2 encoder): writing it into a conv 'bias' param that the
+    module never declared made Flax silently drop it (review round 2)."""
+    import jax
+
+    from tpuseg.export.quantize import fold_batchnorm
+    from tpuseg.models.blocks import ConvBNAct
+
+    model = ConvBNAct(features=8, use_bias=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 16, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, False)
+    # non-trivial BN stats so the shift term is exercised
+    v = jax.tree.map(lambda a: np.array(a, np.float32), v)
+    v["batch_stats"]["bn"]["mean"] += 0.3
+    v["batch_stats"]["bn"]["var"] *= 1.7
+    v["params"]["bn"]["bias"] += 0.2
+    ref = model.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"]}, x, False)
+    folded = fold_batchnorm(v)
+    # param-tree structure unchanged (apply-time-path invariant)
+    assert jax.tree.structure(folded["params"]) == jax.tree.structure(
+        v["params"])
+    out = model.apply(folded, x, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -28,6 +28,9 @@ class PRNGSequence:
     def __next__(self) -> jax.Array:
         return self.next()
 
+    def __iter__(self):
+        return self
+
     def take(self, n: int):
         self._key, *subs = jax.random.split(self._key, n + 1)
         return subs

@@ -105,14 +105,33 @@ def main(argv=None) -> int:
     import cv2
 
     idx = args.idx
+    out_path = args.out or None  # honor --out for the first displayed frame
+    step = 1
+    skipped = 0
     while True:
-        visualize_sample(src, idx, display=True)
+        try:
+            visualize_sample(src, idx, display=True, out_path=out_path)
+            out_path = None
+            skipped = 0
+        except ValueError as e:
+            # unreadable sample: skip in the walking direction instead of
+            # killing the viewer session (real sources return None for
+            # corrupt files; the pipeline skips them too)
+            print(f"skipping: {e}")
+            skipped += 1
+            if skipped >= len(src):
+                print("ERROR: no readable samples")
+                return 1
+            idx = (idx + step) % len(src)
+            continue
         key = cv2.waitKey(0) & 0xFF
         if key == ord("q"):
             break
         if key == ord("n"):
+            step = 1
             idx = (idx + 1) % len(src)
         elif key == ord("p"):
+            step = -1
             idx = (idx - 1) % len(src)
     cv2.destroyAllWindows()
     return 0

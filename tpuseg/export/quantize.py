@@ -39,8 +39,15 @@ def fold_batchnorm(variables: Dict[str, Any], eps: float = BN_EPS) -> dict:
     """Fold every conv->bn pair; returns new {"params", "batch_stats"}.
 
     kernel' = kernel * gamma / sqrt(var + eps)        (per out-channel)
-    bias'   = beta + (bias - mean) * gamma / sqrt(var + eps)
-    bn      -> exact identity (scale=1, bias=0, mean=0, var=1-eps)
+    shift   = beta + (bias - mean) * gamma / sqrt(var + eps)
+    bn      -> pass-through-plus-shift (scale=1, bias=shift, mean=0,
+               var=1-eps); any existing conv bias zeroes out.
+
+    The shift lives in the BN bias, NOT a conv bias: most convs here are
+    ``use_bias=False`` (the whole MobileNetV2 encoder), and Flax silently
+    ignores a 'bias' param the module never declared — the shift would
+    vanish. Keeping it in BN also leaves the param-tree STRUCTURE unchanged
+    (the invariant apply-time paths rely on).
     """
 
     def walk(params: dict, stats: dict) -> Tuple[dict, dict]:
@@ -58,16 +65,17 @@ def fold_batchnorm(variables: Dict[str, Any], eps: float = BN_EPS) -> dict:
                 mean = np.asarray(s_node["bn"]["mean"], np.float64)
                 var = np.asarray(s_node["bn"]["var"], np.float64)
                 factor = gamma / np.sqrt(var + eps)
-                new_conv = {
-                    "kernel": (kernel * factor).astype(np.float32),
-                    "bias": (beta + (bias - mean) * factor).astype(np.float32),
-                }
+                shift = (beta + (bias - mean) * factor).astype(np.float32)
+                new_conv = {"kernel": (kernel * factor).astype(np.float32)}
+                if "bias" in p_node["conv"]:
+                    c_bias = np.zeros(kernel.shape[-1], np.float32)
+                    new_conv["bias"] = c_bias
                 c = kernel.shape[-1]
                 new_p[key] = {
                     "conv": new_conv,
                     "bn": {
                         "scale": np.ones(c, np.float32),
-                        "bias": np.zeros(c, np.float32),
+                        "bias": shift,
                     },
                 }
                 new_s[key] = {

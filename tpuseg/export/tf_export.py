@@ -83,7 +83,13 @@ def export_tflite(
     converter = tf.lite.TFLiteConverter.from_concrete_functions(
         [tf_f.get_concrete_function()]
     )
-    if dtype in ("float16", "bfloat16"):
+    if dtype == "bfloat16":
+        raise ValueError(
+            "TFLite weight quantization is float16-only; pass "
+            "dtype='float16' explicitly (bf16 and fp16 round/overflow "
+            "differently, so a silent substitution would mislead)"
+        )
+    if dtype == "float16":
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
         converter.target_spec.supported_types = [tf.float16]
     data = converter.convert()
