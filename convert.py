@@ -38,24 +38,11 @@ def main(argv=None) -> int:
     model = build_model(cfg.model)
 
     def init_fn():
-        import jax
-
-        from tpuseg.core.device_io import init_on_host
-
         # one host-side init program; eager init on the remote device costs
         # a tunnel round trip per op (CLAUDE.md / core.device_io)
-        def _init():
-            v = model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, cfg.data.height, cfg.data.width, 3)),
-                train=False,
-            )
-            return {
-                "params": v["params"],
-                "batch_stats": v.get("batch_stats", {}),
-            }
+        from tpuseg.core.device_io import init_variables_on_host
 
-        return init_on_host(_init)
+        return init_variables_on_host(model, cfg.data.height, cfg.data.width)
 
     variables = load_variables(cfg.export.checkpoint, cfg.model.name, init_fn)
     if "quant" in variables and cfg.export.format != "quantized":

@@ -78,6 +78,7 @@ def main(argv=None) -> int:
         iou_from_confusion,
         mean_iou,
         pixel_accuracy_from_confusion,
+        tree_sum,
     )
     from tpuseg.train.train_step import TrainState, make_eval_step
 
@@ -108,22 +109,10 @@ def main(argv=None) -> int:
     )
 
     def init_fn():
-        import jax
-
-        from tpuseg.core.device_io import init_on_host
-
-        def _init():
-            v = model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, args.height, args.width, 3)), train=False,
-            )
-            return {
-                "params": v["params"],
-                "batch_stats": v.get("batch_stats", {}),
-            }
-
         # one host-side program (eager remote init = per-op round trips)
-        return init_on_host(_init)
+        from tpuseg.core.device_io import init_variables_on_host
+
+        return init_variables_on_host(model, args.height, args.width)
 
     variables = load_variables(args.checkpoint, args.model, init_fn)
     if "quant" in variables:
@@ -151,15 +140,15 @@ def main(argv=None) -> int:
         step=0, apply_fn=model.apply, params=variables["params"],
         batch_stats=variables.get("batch_stats", {}), tx=None, opt_state=None,
     )
+    from tpuseg.data.class_maps import IMAGENET_MEAN, IMAGENET_STD
+
     mean = (tuple(float(v) for v in args.normalize_mean.split(","))
-            if args.normalize_mean else (0.485, 0.456, 0.406))
+            if args.normalize_mean else tuple(IMAGENET_MEAN.tolist()))
     std = (tuple(float(v) for v in args.normalize_std.split(","))
-           if args.normalize_std else (0.229, 0.224, 0.225))
+           if args.normalize_std else tuple(IMAGENET_STD.tolist()))
     # normalize + cast fused into the jitted step: eager per-batch ops cost
     # a remote-tunnel dispatch each (DESIGN §22)
     eval_step = make_eval_step(args.num_classes, normalize=(mean, std))
-
-    import jax
 
     outs = []
     for images, masks, n_valid in pipeline.eval_batches():
@@ -168,9 +157,7 @@ def main(argv=None) -> int:
         print("ERROR: empty val split", file=sys.stderr)
         return 1
     # one jitted reduction instead of 3 eager device adds per batch
-    tot = jax.jit(
-        lambda os: jax.tree.map(lambda *xs: sum(xs[1:], start=xs[0]), *os)
-    )(outs)
+    tot = tree_sum(outs)
     cm, loss_sum, n = tot["confusion"], tot["loss_sum"], float(tot["n"])
     iou = np.asarray(iou_from_confusion(cm))
     print(json.dumps({

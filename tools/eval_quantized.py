@@ -62,16 +62,9 @@ def main(argv=None) -> int:
     model = build_model(ModelConfig(name=args.model, up_subpixel=False))
 
     def init_fn():
-        from tpuseg.core.device_io import init_on_host
+        from tpuseg.core.device_io import init_variables_on_host
 
-        def _init():
-            v = model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, args.height, args.width, 3)), train=False)
-            return {"params": v["params"],
-                    "batch_stats": v.get("batch_stats", {})}
-
-        return init_on_host(_init)
+        return init_variables_on_host(model, args.height, args.width)
 
     base = load_variables(args.checkpoint, args.model, init_fn)
     # a calibrated int8_full artifact carries a "quant" collection; the

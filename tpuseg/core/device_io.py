@@ -138,3 +138,19 @@ def _flat_sharding(sharding):
     if isinstance(sharding, NamedSharding) and sharding.spec != PartitionSpec():
         return NamedSharding(sharding.mesh, PartitionSpec())
     return sharding
+
+
+def init_variables_on_host(model, height: int, width: int) -> dict:
+    """{"params", "batch_stats"} for a segmentation model, initialized as
+    ONE host-side program (the shared init_fn of the CLI tools)."""
+    import jax.numpy as jnp
+
+    def _init():
+        v = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, height, width, 3)),
+            train=False,
+        )
+        return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+
+    return init_on_host(_init)

@@ -90,8 +90,8 @@ class Predictor:
         upscale_on_host: bool = True,
         preprocess_on_host: bool = False,
         mesh=None,
-        normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406),
-        normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225),
+        normalize_mean=None,
+        normalize_std=None,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with a "data" axis shards each
         batch over the chips (params replicated, XLA partitions the whole
@@ -147,8 +147,15 @@ class Predictor:
         self.preprocess_on_host = preprocess_on_host
         # Must match training normalization (DataConfig.normalize_mean/std)
         # or the served model sees mis-normalized inputs — train/serve skew.
-        self.normalize_mean = tuple(normalize_mean)
-        self.normalize_std = tuple(normalize_std)
+        from tpuseg.data.class_maps import IMAGENET_MEAN, IMAGENET_STD
+
+        self.normalize_mean = tuple(
+            IMAGENET_MEAN.tolist() if normalize_mean is None
+            else normalize_mean
+        )
+        self.normalize_std = tuple(
+            IMAGENET_STD.tolist() if normalize_std is None else normalize_std
+        )
 
         from tpuseg.core.device_io import device_put_packed, init_on_host
 

@@ -87,3 +87,14 @@ def mean_iou(cm) -> float:
 def pixel_accuracy_from_confusion(cm) -> float:
     cm = np.asarray(cm, dtype=np.float64)
     return float(np.diag(cm).sum() / max(cm.sum(), 1))
+
+
+@jax.jit
+def tree_sum(outs):
+    """Reduce a list of same-structure metric pytrees in ONE dispatch.
+
+    Replaces per-batch eager device adds in eval loops (each eager op costs
+    a remote-tunnel round trip — DESIGN §22). jit caches per pytree
+    structure (= per batch count), so each eval pass after the first reuses
+    the compiled reduction."""
+    return jax.tree.map(lambda *xs: sum(xs[1:], start=xs[0]), *outs)

@@ -39,6 +39,7 @@ from tpuseg.train.metrics import (
     iou_from_confusion,
     mean_iou,
     pixel_accuracy_from_confusion,
+    tree_sum,
 )
 from tpuseg.train.train_step import (
     create_train_state,
@@ -53,15 +54,6 @@ def _loss_list(x) -> list:
 
 
 log = logging.getLogger(__name__)
-
-
-@jax.jit
-def _tree_sum(outs):
-    """Reduce a list of same-structure metric pytrees in ONE dispatch.
-
-    jit caches per pytree structure (= per batch count), so each eval pass
-    after the first reuses the compiled reduction."""
-    return jax.tree.map(lambda *xs: sum(xs[1:], start=xs[0]), *outs)
 
 
 class Trainer:
@@ -591,7 +583,7 @@ class Trainer:
             )
         if not outs:
             return {}
-        tot = _tree_sum(outs)
+        tot = tree_sum(outs)
         cm = tot["confusion"]
         loss_sum, n = float(tot["loss_sum"]), float(tot["n"])
         if n == 0:
