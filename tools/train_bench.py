@@ -94,8 +94,10 @@ def main(argv=None) -> int:
             if carry is not None:
                 xx = xx + carry * 1e-9
             out = eval_step(st, xx, yy, jnp.int32(xx.shape[0]))
-            dep = out["loss_sum"] + jnp.sum(out["confusion"]).astype(
-                jnp.float32) * 1e-20
+            # per-image loss (loss_sum/batch) so the record compares with
+            # the train rows; the confusion term only threads a data dep
+            dep = out["loss_sum"] / xx.shape[0] + jnp.sum(
+                out["confusion"]).astype(jnp.float32) * 1e-20
             return st, {"loss": dep}
 
         cost_lowered = lambda: eval_step.lower(
