@@ -257,3 +257,29 @@ def test_inference_cli_max_frames(tmp_path):
     assert rc == 0
     stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert stats["frames"] == 8
+
+
+def test_video_pipeline_preprocess_on_host_single_compile(tmp_path):
+    """With preprocess_on_host (+ device upscale) the warm-up batch and the
+    steady-state batches must hit the SAME jit cache entry — the old path
+    keyed the warm-up on frame size but fed model-size batches later,
+    compiling a second program inside the timed region and silently
+    replacing the device upscale with a host one (review round 2)."""
+    src = str(tmp_path / "in.mp4")
+    wr = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (100, 60))
+    rng = np.random.RandomState(7)
+    for _ in range(12):
+        wr.write(rng.randint(0, 255, (60, 100, 3), np.uint8))
+    wr.release()
+
+    pred = Predictor(
+        ModelConfig(name="unet", base_filters=4, num_classes=10),
+        input_hw=(32, 64), batch_size=4,
+        preprocess_on_host=True, upscale_on_host=False,
+    )
+    pipe = VideoPipeline(pred)
+    out = str(tmp_path / "out.mp4")
+    stats = pipe.run(src, output_path=out)
+    assert stats["frames"] == 12
+    # one program for the whole run: keyed on the TRUE frame size
+    assert list(pred._jitted.keys()) == [(60, 100)]
