@@ -89,3 +89,43 @@ def test_pipeline_bench_smoke(monkeypatch, capsys, tmp_path):
     )
     assert rc == 0
     assert "{" in capsys.readouterr().out
+
+
+def test_export_synthetic_dataset_roundtrip(monkeypatch, capsys, tmp_path):
+    """The exported BDD100K-layout dir reproduces the synthetic samples
+    bit-exactly through the REAL file path (cv2 decode + LUT remap), and
+    eval_miou's north-star command runs end-to-end against it."""
+    out = tmp_path / "synth_val"
+    rc = _run_tool(
+        "export_synthetic_dataset",
+        ["--out", str(out), "--num", "3", "--seed", "11"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["count"] == 3
+
+    from tpuseg.data.sources import BDD100KSource, SyntheticSource
+
+    loaded = BDD100KSource(
+        str(out / "images"), str(out / "masks"), 256, 128
+    )
+    ref = SyntheticSource(3, 256, 128, seed=11)
+    for i in range(3):
+        img, mask = loaded.load(i)
+        rimg, rmask = ref.load(i)
+        assert (mask == rmask).all()
+        assert (img == rimg).all()
+
+    # the exact BASELINE.md north-star invocation (random-init checkpoint)
+    rc = _run_tool(
+        "eval_miou",
+        ["--data_dir", str(out), "--batch", "3", "--width", "64",
+         "--height", "32", "--model", "light_unet", "--platform", "cpu"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(line)
+    assert res["n_images"] == 3
+    assert 0.0 <= res["miou"] <= 1.0
