@@ -6,6 +6,7 @@ devices, sharded step numerically equal to single-device at the same global
 batch.
 """
 
+import json
 import numpy as np
 import pytest
 
@@ -688,3 +689,43 @@ def test_trainer_spatial_mesh_end_to_end(tmp_path, mesh8):
     bad.data.height = 15
     with pytest.raises(ValueError, match="spatial"):
         Trainer(bad)
+
+
+def test_history_jsonl_persisted_and_appended_on_resume(tmp_path, mesh8):
+    """Epoch records land in <checkpoint_dir>/history.jsonl by default and a
+    resumed run APPENDS — one file carries the whole training run."""
+    from tpuseg.train.trainer import Trainer
+
+    argv = [
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.lr=1e-3",
+        "--train.steps_per_epoch=2", "--train.log_every=0",
+        f"--train.checkpoint_dir={tmp_path}/ckpt",
+        "--data.val_split=0.25",
+    ]
+    cfg = load_config(argv + ["--train.epochs=2"])
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+    )
+    Trainer(cfg).train()
+    path = tmp_path / "ckpt" / "history.jsonl"
+    recs = [json.loads(l) for l in path.read_text().splitlines()]
+    assert [r["epoch"] for r in recs] == [1, 2]
+    assert "val_miou" in recs[0] and "imgs_per_sec" in recs[0]
+
+    cfg2 = load_config(argv + ["--train.epochs=3", "--train.resume=true"])
+    cfg2.data.sources = cfg.data.sources
+    Trainer(cfg2).train()
+    recs = [json.loads(l) for l in path.read_text().splitlines()]
+    assert [r["epoch"] for r in recs] == [1, 2, 3]
+
+    # "none" disables; explicit path wins over the checkpoint_dir default
+    cfg3 = load_config(argv + ["--train.epochs=1",
+                               "--train.history_file=none"])
+    cfg3.data.sources = cfg.data.sources
+    t3 = Trainer(cfg3)
+    assert t3._history_path == ""
+    cfg4 = load_config(argv + [f"--train.history_file={tmp_path}/h.jsonl"])
+    cfg4.data.sources = cfg.data.sources
+    assert Trainer(cfg4)._history_path == f"{tmp_path}/h.jsonl"

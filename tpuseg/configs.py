@@ -136,6 +136,9 @@ class TrainConfig:
     grad_accum: int = 1
     profile_dir: str = ""                # non-empty => jax.profiler trace
     tensorboard_dir: str = ""            # non-empty => TB scalar summaries
+    # JSON-lines epoch records (loss, val mIoU, imgs/sec) persisted to disk;
+    # "" = <checkpoint_dir>/history.jsonl when checkpointing ("none" = off)
+    history_file: str = ""
     seed: int = 0
 
 

@@ -187,6 +187,18 @@ class Trainer:
         # steps/epoch up to whole dispatch groups) changes between runs
         self.epoch = 0
         self.history: List[Dict] = []
+        # Persist epoch records as JSON-lines (the reference only prints a
+        # per-epoch loss, src/train.py:75; here the full record — loss,
+        # val mIoU, per-class IoU, imgs/sec — survives the process).
+        # "" = <checkpoint_dir>/history.jsonl when checkpointing, else off;
+        # resume APPENDS, so one file carries the whole run.
+        self._history_path = cfg.train.history_file
+        if not self._history_path and cfg.train.checkpoint_dir:
+            self._history_path = os.path.join(
+                cfg.train.checkpoint_dir, "history.jsonl"
+            )
+        if self._history_path == "none":
+            self._history_path = ""
         self._best_miou = float("-inf")
         self._tb = None
         if cfg.train.tensorboard_dir:
@@ -567,6 +579,9 @@ class Trainer:
                         json.dump({"step": self.step, "val_miou": miou}, f)
         self.history.append(rec)
         log.info("%s", json.dumps(rec))
+        if self._history_path:
+            with open(self._history_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
         self._tb_scalars(rec)
         if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
             self.save_checkpoint()
