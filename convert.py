@@ -9,6 +9,13 @@ claims), and a round-trip self-check (exported output == jitted output):
 
     python convert.py --export.checkpoint=checkpoints \
         --export.output=exported/model.stablehlo --export.dtype=float16
+
+``--export.format=onnx`` emits the reference's exact artifact — an ONNX
+opset-12 graph with dynamic batch, input "input" [batch,3,H,W], output
+"output" — via tpuseg's own protobuf codec (the onnx package isn't
+installed here), validated structurally and by executed round-trip
+(tpuseg.export.onnx_run). savedmodel/tflite/quantized cover the other
+deployment targets.
 """
 
 from __future__ import annotations
@@ -73,6 +80,8 @@ def main(argv=None) -> int:
         return _export_tf(cfg, model, variables, export_dtype)
     if cfg.export.format == "quantized":
         return _export_quantized(cfg, model, variables)
+    if cfg.export.format == "onnx":
+        return _export_onnx(cfg, model, variables, export_dtype)
     if cfg.export.format != "stablehlo":
         print(f"ERROR: unknown export format {cfg.export.format!r}")
         return 1
@@ -178,6 +187,51 @@ def _export_quantized(cfg, model, variables) -> int:
     # (tools/eval_quantized.py measures the mIoU delta properly).
     if agreement < 0.9:
         print("ERROR: int8 masks diverge from fp32 beyond tolerance")
+        return 1
+    print("Export is valid!")
+    return 0
+
+
+def _export_onnx(cfg, model, variables, export_dtype: str) -> int:
+    """ONNX opset-12 export (the reference's artifact, convert.py:29-42)
+    with structural validation + an executed round-trip self-check — both
+    run by tpuseg's own codec/interpreter, since neither onnx nor
+    onnxruntime is installed here."""
+    import jax.numpy as jnp
+
+    from tpuseg.export.onnx_export import export_onnx
+    from tpuseg.export.onnx_run import check_model, run_model
+
+    if export_dtype != "float32":
+        print("ERROR: the ONNX exporter emits float32 graphs only; "
+              "downstream toolchains own FP16/int8 (README.md:113-117)")
+        return 1
+
+    h, w = cfg.data.height, cfg.data.width
+    data = export_onnx(
+        model, variables, h, w, path=cfg.export.output, batch=cfg.export.batch
+    )
+    print(f"Exported {len(data)} bytes of ONNX to {cfg.export.output}")
+
+    problems = check_model(data)
+    if problems:
+        print("ERROR: structural check failed: " + "; ".join(problems))
+        return 1
+
+    check_batch = 2 if cfg.export.batch == -1 else cfg.export.batch
+    x = np.random.RandomState(0).rand(check_batch, h, w, 3).astype(np.float32)
+    out = run_model(data, {"input": x.transpose(0, 3, 1, 2)})["output"]
+    direct = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        jnp.asarray(x), train=False,
+    )
+    direct = np.asarray(direct).transpose(0, 3, 1, 2)
+    err = float(np.abs(out - direct).max())
+    rel = err / max(float(np.abs(direct).max()), 1e-9)
+    print(f"Round-trip check: max diff {err:.3e} (rel {rel:.3e})")
+    if not rel < 1e-5:
+        print("ERROR: exported model diverges from source model")
         return 1
     print("Export is valid!")
     return 0

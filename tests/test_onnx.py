@@ -1,0 +1,190 @@
+"""ONNX export: wire-format codec round-trip, executed graph parity, and the
+reference artifact contract (opset 12, dynamic batch, input/output names —
+reference convert.py:26-42) — all without the onnx package."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from tpuseg.export import onnx_proto as op
+from tpuseg.export.onnx_export import export_onnx
+from tpuseg.export.onnx_run import check_model, run_model
+from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
+from tpuseg.models.unet import LightUNet, UNet
+
+
+def _jitter_bn(variables, seed=5):
+    """Non-trivial BN params/stats so a mean/var/scale mixup can't hide."""
+    rng = np.random.RandomState(seed)
+
+    def stats(p, x):
+        lo, hi = (0.5, 1.5) if "var" in str(p) else (-0.05, 0.05)
+        return jnp.asarray(rng.uniform(lo, hi, x.shape), jnp.float32)
+
+    def params(p, x):
+        s = str(p)
+        if "'bn'" in s:
+            lo, hi = (0.5, 1.5) if "scale" in s else (-0.05, 0.05)
+            return jnp.asarray(rng.uniform(lo, hi, x.shape), jnp.float32)
+        return x
+
+    return {
+        "params": jtu.tree_map_with_path(params, variables["params"]),
+        "batch_stats": jtu.tree_map_with_path(stats, variables["batch_stats"]),
+    }
+
+
+def _roundtrip(model, h, w, batch=2, seed=0):
+    x = jax.random.normal(jax.random.PRNGKey(seed), (batch, h, w, 3))
+    variables = _jitter_bn(
+        model.init(jax.random.PRNGKey(0), x, train=False)
+    )
+    data = export_onnx(model, variables, height=h, width=w)
+    assert check_model(data) == []
+    out = run_model(data, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    direct = np.asarray(model.apply(variables, x, train=False))
+    got = out["output"]
+    want = direct.transpose(0, 3, 1, 2)
+    assert got.shape == want.shape
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert rel < 1e-5, f"round-trip rel err {rel}"
+    return data
+
+
+# ---------------------------------------------------------------------------
+# wire-format codec
+
+
+def test_proto_codec_roundtrip_all_field_types():
+    w = np.random.RandomState(0).rand(4, 3, 3, 3).astype(np.float32)
+    idx = np.asarray([-1, 0, 7], np.int64)  # negative int64 -> 10-byte varint
+    node = op.node_proto(
+        "Conv", ["x", "w"], ["y"], name="n0",
+        group=1, pads=[1, 1, 1, 1], alpha=0.5, mode="linear",
+        scales=[1.0, 2.0], tensor=np.asarray(6.0, np.float32),
+    )
+    graph = op.graph_proto(
+        [node],
+        name="g",
+        inputs=[op.value_info_proto("x", op.FLOAT, ["batch", 3, 8, 8])],
+        outputs=[op.value_info_proto("y", op.FLOAT, ["batch", 4, 8, 8])],
+        initializers=[op.tensor_proto("w", w), op.tensor_proto("idx", idx)],
+    )
+    m = op.parse_model(op.model_proto(graph, opset_version=12))
+
+    assert m["ir_version"] == 7
+    assert m["producer_name"] == "tpuseg"
+    assert m["opset_import"] == [{"domain": "", "version": 12}]
+    g = m["graph"]
+    np.testing.assert_array_equal(g["initializers"]["w"], w)
+    np.testing.assert_array_equal(g["initializers"]["idx"], idx)
+    assert g["inputs"][0]["dims"] == ["batch", 3, 8, 8]
+    n = g["nodes"][0]
+    assert n["op_type"] == "Conv" and n["input"] == ["x", "w"]
+    assert n["attrs"]["group"] == 1
+    assert n["attrs"]["pads"] == [1, 1, 1, 1]
+    assert n["attrs"]["alpha"] == pytest.approx(0.5)
+    assert n["attrs"]["mode"] == "linear"
+    assert n["attrs"]["scales"] == pytest.approx([1.0, 2.0])
+    assert float(n["attrs"]["tensor"]) == 6.0
+
+
+def test_check_model_catches_unresolved_input():
+    node = op.node_proto("Relu", ["ghost"], ["y"])
+    graph = op.graph_proto(
+        [node], "g",
+        inputs=[op.value_info_proto("x", op.FLOAT, [1])],
+        outputs=[op.value_info_proto("y", op.FLOAT, [1])],
+        initializers=[],
+    )
+    problems = check_model(op.model_proto(graph))
+    assert any("ghost" in p for p in problems)
+
+
+# ---------------------------------------------------------------------------
+# executed round-trip parity (serialize -> parse -> run vs model.apply)
+
+
+def test_unet_onnx_roundtrip():
+    _roundtrip(UNet(output_channels=3, base_filters=4), 16, 24)
+
+
+def test_light_unet_onnx_roundtrip():
+    _roundtrip(LightUNet(base_filters=4), 32, 32)
+
+
+def test_mobilenetv2_unet_onnx_roundtrip():
+    data = _roundtrip(
+        MobileNetV2UNet(output_channels=10), 32, 64, batch=1
+    )
+    # the two reference resize semantics must both be present: decoder ups
+    # are align_corners=False (src/unet.py:97), the final x2 is =True
+    # (src/unet.py:30)
+    g = op.parse_model(data)["graph"]
+    modes = [
+        n["attrs"]["coordinate_transformation_mode"]
+        for n in g["nodes"] if n["op_type"] == "Resize"
+    ]
+    assert modes.count("pytorch_half_pixel") == 4
+    assert modes[-1] == "align_corners"
+    # relu6 is Clip(0, 6) with opset-11+ min/max inputs
+    clips = [n for n in g["nodes"] if n["op_type"] == "Clip"]
+    assert clips and clips[0]["input"][1:] == ["clip_min", "clip_max"]
+    assert float(g["initializers"]["clip_min"]) == 0.0
+    assert float(g["initializers"]["clip_max"]) == 6.0
+    # depthwise convs carry the group attribute
+    assert any(
+        n["attrs"].get("group", 1) > 1
+        for n in g["nodes"] if n["op_type"] == "Conv"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the reference artifact contract
+
+
+def test_onnx_contract_dynamic_batch_and_names():
+    m = UNet(output_channels=3, base_filters=4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False)
+    parsed = op.parse_model(export_onnx(m, v, 16, 16))
+    assert parsed["opset_import"] == [{"domain": "", "version": 12}]
+    g = parsed["graph"]
+    # reference convert.py:36-41: named input/output, batch dim dynamic on both
+    assert g["inputs"][0]["name"] == "input"
+    assert g["outputs"][0]["name"] == "output"
+    assert g["inputs"][0]["dims"] == ["batch", 3, 16, 16]
+    assert g["outputs"][0]["dims"][0] == "batch"
+
+
+def test_onnx_static_batch():
+    m = UNet(output_channels=2, base_filters=4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False)
+    g = op.parse_model(export_onnx(m, v, 16, 16, batch=3))["graph"]
+    assert g["inputs"][0]["dims"] == [3, 3, 16, 16]
+
+
+def test_convert_cli_onnx(tmp_path):
+    import convert
+
+    rc = convert.main([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=64", "--data.height=32",
+        "--export.format=onnx", f"--export.output={tmp_path}/m.onnx",
+    ])
+    assert rc == 0
+    assert (tmp_path / "m.onnx").stat().st_size > 1000
+
+
+def test_convert_cli_onnx_rejects_fp16(tmp_path):
+    import convert
+
+    rc = convert.main([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=64", "--data.height=32",
+        "--export.format=onnx", f"--export.output={tmp_path}/m.onnx",
+        "--export.dtype=float16",
+    ])
+    assert rc == 1

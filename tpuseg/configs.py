@@ -190,8 +190,10 @@ class ExportConfig:
 
     checkpoint: str = ""
     output: str = "exported/model.stablehlo"
-    # "stablehlo": jax.export artifact (symbolic batch); "savedmodel": TF
-    # serving dir; "tflite": edge flatbuffer; "quantized": calibrated
+    # "stablehlo": jax.export artifact (symbolic batch); "onnx": opset-12
+    # graph with dynamic batch (the reference's literal format,
+    # convert.py:29-42 — emitted without the onnx package); "savedmodel":
+    # TF serving dir; "tflite": edge flatbuffer; "quantized": calibrated
     # full-int8 Orbax checkpoint consumable by inference.py.
     format: str = "stablehlo"
     dtype: str = "float32"               # "float32" | "float16" | "int8"

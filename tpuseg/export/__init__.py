@@ -4,9 +4,11 @@ from tpuseg.export.quantize import (
     quantize_int8,
 )
 from tpuseg.export.int8_full import calibrate, quantized_apply_fn
+from tpuseg.export.onnx_export import export_onnx
 from tpuseg.export.stablehlo import export_model, load_exported
 
 __all__ = [
+    "export_onnx",
     "fold_batchnorm",
     "quantize_int8",
     "dequantize_int8",
