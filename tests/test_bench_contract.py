@@ -36,7 +36,10 @@ def test_default_record_shape(monkeypatch):
     assert rec["metric"] == "mobilenetv2_unet_infer_512x512_fps_per_chip"
     assert rec["unit"] == "frames/sec"
     assert rec["vs_baseline"] == round(1000.0 / 2.58, 1)
-    assert "config" not in rec  # default config records stay guard-eligible
+    # the default headline config includes the bf16 head (round 2 flip:
+    # 2257.5 -> 2408.9 fps) and is explicitly tagged so the fp32-head era's
+    # untagged records can never be conflated with it
+    assert rec["config"]["bf16_head"] is True
 
 
 def test_size_override_tags_config(monkeypatch):
@@ -53,22 +56,29 @@ def test_history_best_ignores_config_stale_and_other_batches(
 ):
     m = _load(monkeypatch)
     hist = tmp_path / "hist.json"
+    cur = {"bf16_head": True, "batch": 256, "size": "512x512"}
     lines = [
         {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
-         "value": 2000.0, "batch": 256, "size": "512x512"},
+         "value": 2000.0, "batch": 256, "size": "512x512", "config": cur},
         {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
-         "value": 9000.0, "batch": 256, "size": "512x512", "stale": True},
-        # a different-batch record must NOT count toward the current default
-        # (ADVICE r1 item 2: the 128->256 default switch leak)
+         "value": 9000.0, "batch": 256, "size": "512x512", "stale": True,
+         "config": cur},
+        # an fp32-head-era (untagged) record must NOT count toward the
+        # current bf16-head default — the cross-config leak guard
+        # (ADVICE r1 item 2: the 128->256 default switch precedent)
         {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
-         "value": 8500.0, "batch": 128, "size": "512x512"},
+         "value": 8500.0, "batch": 256, "size": "512x512"},
+        # nor a different-batch record
+        {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+         "value": 8700.0, "batch": 128, "size": "512x512", "config":
+         {"bf16_head": True, "batch": 128, "size": "512x512"}},
         # nor an A/B-toggled one
         {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
          "value": 8800.0, "batch": 256, "size": "512x512",
-         "config": {"pallas": True, "batch": 256, "size": "512x512"}},
+         "config": {**cur, "pallas": True}},
         {"metric": "mobilenetv2_unet_infer_256x128_fps_per_chip",
          "value": 8000.0, "batch": 256, "size": "256x128",
-         "config": {"size": "256x128"}},
+         "config": {"bf16_head": True, "size": "256x128"}},
     ]
     hist.write_text("\n".join(json.dumps(l) for l in lines) + "\n")
     monkeypatch.setattr(m, "HISTORY", str(hist))
@@ -84,12 +94,13 @@ def test_watchdog_stale_fallback_is_per_metric(monkeypatch, tmp_path):
     lines = [
         {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
          "value": 1234.5, "tflops": 3.0, "mfu_pct": 1.5,
-         "batch": 256, "size": "512x512"},
+         "batch": 256, "size": "512x512",
+         "config": {"bf16_head": True, "batch": 256, "size": "512x512"}},
         {"metric": "mobilenetv2_unet_infer_64x32_fps_per_chip",
          "value": 77.0, "batch": 256, "size": "64x32",
          "config": {"s2d": False, "pallas": False, "int8": False,
                     "foldbn": False, "subpix": True, "fused_head": False,
-                    "batch": 256, "size": "64x32"}},
+                    "bf16_head": True, "batch": 256, "size": "64x32"}},
     ]
     hist.write_text("\n".join(json.dumps(l) for l in lines) + "\n")
 

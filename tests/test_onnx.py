@@ -142,6 +142,22 @@ def test_mobilenetv2_unet_onnx_roundtrip():
     )
 
 
+def test_mobilenetv2_unet_onnx_no_upsample_head():
+    """upsample_head=False serving config: logits exported at H/2, and the
+    declared output shape matches."""
+    m = MobileNetV2UNet(output_channels=10, upsample_head=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 64, 3))
+    v = _jitter_bn(m.init(jax.random.PRNGKey(0), x, train=False))
+    data = export_onnx(m, v, 32, 64)
+    assert check_model(data) == []
+    g = op.parse_model(data)["graph"]
+    assert g["outputs"][0]["dims"] == ["batch", 10, 16, 32]
+    out = run_model(data, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    want = np.asarray(m.apply(v, x, train=False)).transpose(0, 3, 1, 2)
+    rel = np.abs(out["output"] - want).max() / np.abs(want).max()
+    assert rel < 1e-5
+
+
 # ---------------------------------------------------------------------------
 # the reference artifact contract
 

@@ -176,7 +176,6 @@ class GraphBuilder:
                 [out],
                 coordinate_transformation_mode=mode,
                 mode="linear",
-                nearest_mode="floor",
             )
         )
         return out
@@ -306,6 +305,10 @@ def _emit_mobilenetv2_unet(g: GraphBuilder, x: str, variables, model) -> str:
     y = g.up(y, x2, "up3", params["up3"], stats["up3"])
     y = g.up(y, x1, "up4", params["up4"], stats["up4"])
     y = g.out_conv(y, "outc", params["outc"], stats["outc"])
+    if not model.upsample_head:
+        # serving config that fuses the final upsample into the consumer
+        # (tpuseg.ops.pallas_kernels.upsample2x_argmax): logits at H/2
+        return y
     # final x2 with align_corners=True (reference src/unet.py:30)
     return g.resize2x(y, align_corners=True)
 
@@ -355,7 +358,9 @@ def export_onnx(
     g = GraphBuilder()
     if isinstance(model, MobileNetV2UNet):
         out = _emit_mobilenetv2_unet(g, "input", variables, model)
-        out_h, out_w, classes = height, width, model.output_channels
+        scale = 1 if model.upsample_head else 2
+        out_h, out_w = height // scale, width // scale
+        classes = model.output_channels
     elif isinstance(model, LightUNet):
         inner = {
             "params": variables["params"]["unet"],
