@@ -91,6 +91,23 @@ def test_pipeline_bench_smoke(monkeypatch, capsys, tmp_path):
     assert "{" in capsys.readouterr().out
 
 
+def test_artifact_bench_smoke(monkeypatch, capsys, tmp_path):
+    rc = _run_tool(
+        "artifact_bench",
+        ["--batch", "2", "--chain", "2", "--size", "64x32",
+         "--history", str(tmp_path / "hist.json")],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    rec = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert rec["metric"] == "stablehlo_artifact_infer_64x32_fps_per_chip"
+    assert rec["artifact_vs_live"] > 0
+    # a cpu run must never append to history
+    assert not (tmp_path / "hist.json").exists()
+
+
 def test_export_synthetic_dataset_roundtrip(monkeypatch, capsys, tmp_path):
     """The exported BDD100K-layout dir reproduces the synthetic samples
     bit-exactly through the REAL file path (cv2 decode + LUT remap), and
