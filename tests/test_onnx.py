@@ -142,6 +142,14 @@ def test_mobilenetv2_unet_onnx_roundtrip():
     )
 
 
+def test_mobilenetv2_unet_onnx_width_mult():
+    """Non-default width_mult exercises make_divisible channel rounding and
+    the residual-eligibility recomputation in the exporter's encoder walk."""
+    _roundtrip(
+        MobileNetV2UNet(output_channels=5, width_mult=0.5), 32, 64, batch=1
+    )
+
+
 def test_mobilenetv2_unet_onnx_no_upsample_head():
     """upsample_head=False serving config: logits exported at H/2, and the
     declared output shape matches."""
