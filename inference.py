@@ -9,6 +9,8 @@ everything is a flag:
     python inference.py --infer.video=assets/road2.mp4 \
         --infer.checkpoint=checkpoints --infer.output=out.mp4
     python inference.py --infer.checkpoint=model_epoch_172.pth  # torch import
+    python inference.py --infer.artifact=exported/model.stablehlo  # serve the
+        deployed StableHLO artifact (weights baked in; convert.py output)
 
 Postprocess semantics are identical to the reference: road morphology close +
 keep-largest component, car contour boxes with distance labels, 0.6/0.4
@@ -38,6 +40,7 @@ def main(argv=None) -> int:
     predictor = Predictor(
         cfg.model,
         checkpoint=cfg.infer.checkpoint,
+        artifact=cfg.infer.artifact,
         input_hw=(cfg.data.height, cfg.data.width),
         batch_size=cfg.infer.batch_size,
         colorize_on_device=cfg.infer.colorize_on_device,

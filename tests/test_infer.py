@@ -218,6 +218,102 @@ def test_predictor_honors_custom_normalization():
     np.testing.assert_array_equal(pred(frames), expect)
 
 
+def test_predictor_serves_stablehlo_artifact(tmp_path):
+    """Artifact serving: a Predictor fed convert.py's StableHLO export
+    (weights baked in, checkpoint ignored) returns the same class maps as
+    the live model with the same weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.export.stablehlo import export_model
+    from tpuseg.models.registry import build_model
+
+    cfg = ModelConfig(name="unet", base_filters=4, num_classes=10)
+    model = build_model(cfg)
+    # same init as Predictor's checkpoint="" path: PRNGKey(0), zeros probe
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)),
+                   train=False)
+    path = str(tmp_path / "m.stablehlo")
+    export_model(
+        model, {"params": v["params"], "batch_stats": v["batch_stats"]},
+        32, 64, path, batch=-1, fold_bn=False,
+    )
+
+    live = Predictor(cfg, input_hw=(32, 64), batch_size=4)
+    art = Predictor(cfg, input_hw=(32, 64), batch_size=4, artifact=path)
+    frames = np.random.RandomState(0).randint(
+        0, 255, (4, 96, 128, 3), np.uint8
+    )
+    a, b = live(frames), art(frames)
+    # identical graphs can still fuse differently across the export
+    # round-trip; random-init logits tie often, so gate on agreement
+    assert (a == b).mean() > 0.999
+
+
+def test_predictor_artifact_rejects_mesh(mesh8, tmp_path):
+    cfg = ModelConfig(name="unet", base_filters=4, num_classes=10)
+    with pytest.raises(ValueError, match="single-chip"):
+        Predictor(cfg, input_hw=(32, 64), batch_size=8, mesh=mesh8,
+                  artifact=str(tmp_path / "missing.stablehlo"))
+
+
+def test_inference_cli_artifact(tmp_path):
+    """inference.py serves a StableHLO artifact end-to-end via
+    --infer.artifact (the deployed-artifact workflow)."""
+    import importlib.util
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.export.stablehlo import export_model
+    from tpuseg.models.registry import build_model
+
+    cfg = ModelConfig(name="unet", base_filters=4, num_classes=10)
+    model = build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)),
+                   train=False)
+    art = str(tmp_path / "m.stablehlo")
+    export_model(
+        model, {"params": v["params"], "batch_stats": v["batch_stats"]},
+        32, 64, art, batch=-1, fold_bn=False,
+    )
+
+    src = str(tmp_path / "in.mp4")
+    wr = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (100, 60))
+    rng = np.random.RandomState(4)
+    for _ in range(8):
+        wr.write(rng.randint(0, 255, (60, 100, 3), np.uint8))
+    wr.release()
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "inference_cli_artifact", _os.path.join(repo, "inference.py"))
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules[spec.name] = mod
+    try:
+        spec.loader.exec_module(mod)
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = mod.main([
+                "--platform=cpu",
+                "--model.name=unet", "--model.base_filters=4",
+                "--data.width=64", "--data.height=32",
+                f"--infer.video={src}", "--infer.batch_size=4",
+                f"--infer.artifact={art}",
+            ])
+    finally:
+        _sys.modules.pop(spec.name, None)
+    assert rc == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["frames"] == 8
+
+
 def test_inference_cli_max_frames(tmp_path):
     """The inference.py entry point honors --infer.max_frames (bounded
     benchmark/smoke runs) end-to-end through its flag system."""

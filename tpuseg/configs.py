@@ -155,6 +155,10 @@ class InferConfig:
     """Video/batch inference. Reference: inference.py (batch=1 serial loop)."""
 
     checkpoint: str = ""
+    # serve a deserialized StableHLO export (convert.py output) instead of
+    # the live model — weights are baked into the artifact, so checkpoint
+    # is ignored; single-chip (no sharding annotations inside the artifact)
+    artifact: str = ""
     video: str = "assets/demo.mp4"       # synthetic demo clip (tools/make_demo_video.py)
     output: str = ""                     # output video path ("" = no write)
     batch_size: int = 8                  # batched, double-buffered pipeline

@@ -92,6 +92,7 @@ class Predictor:
         mesh=None,
         normalize_mean=None,
         normalize_std=None,
+        artifact: str = "",
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with a "data" axis shards each
         batch over the chips (params replicated, XLA partitions the whole
@@ -120,7 +121,17 @@ class Predictor:
         cv2 resize round differently at tie-break pixels, so class maps can
         differ on a handful of boundary pixels; the flag selects which
         convention is bit-preserved (device fp32 chain vs reference cv2
-        chain)."""
+        chain).
+
+        ``artifact``: serve a DESERIALIZED StableHLO export (convert.py's
+        `--export.format=stablehlo` output) instead of the live model — the
+        deployment workflow, with weights baked into the artifact (so
+        ``checkpoint`` is ignored). The artifact must take normalized
+        NHWC float32 images at the model input size and return logits
+        (exactly what tpuseg.export.stablehlo.export_model serializes);
+        export with batch=-1 (symbolic) or with this Predictor's
+        batch_size. Measured throughput parity with the live model:
+        tools/artifact_bench.py (ratio 1.005-1.006 on v5e)."""
         if mesh is not None and model_cfg.use_pallas:
             raise ValueError(
                 "use_pallas is single-chip only; Pallas kernels are not "
@@ -133,8 +144,18 @@ class Predictor:
                     f"batch_size {batch_size} not divisible by the mesh's "
                     f"data axis ({n_data} devices)"
                 )
+        if artifact and mesh is not None:
+            raise ValueError(
+                "artifact serving is single-chip: the exported computation "
+                "carries no sharding annotations for GSPMD to partition"
+            )
         self.model = build_model(model_cfg)
         self.mesh = mesh
+        self.artifact_call = None
+        if artifact:
+            from tpuseg.export.stablehlo import load_exported
+
+            self.artifact_call = load_exported(artifact)
         self.input_hw = input_hw
         self.batch_size = batch_size
         # Device argmax+colorize (XLA palette gather; pallas_kernels routes
@@ -174,6 +195,12 @@ class Predictor:
 
             return init_on_host(_init, jax.random.PRNGKey(0))
 
+        if self.artifact_call is not None:
+            # weights live inside the artifact as baked constants
+            self.variables = {}
+            self.int8 = False
+            self._jitted = {}
+            return
         self.variables = load_variables(checkpoint, model_cfg.name, init_fn)
         # calibrated int8 artifact: every ConvBNAct runs int8 x int8 on the MXU
         self.int8 = "quant" in self.variables
@@ -208,13 +235,17 @@ class Predictor:
                 # (preprocess_on_host) or frames arrive at model size
                 x = resize_bilinear(x, mh, mw, align_corners=False)
             x = normalize_images(x, self.normalize_mean, self.normalize_std)
-            bound = {
-                "params": variables["params"],
-                "batch_stats": variables["batch_stats"],
-            }
-            if int8:
-                bound["quant"] = variables["quant"]
-            logits = self.model.apply(bound, x, train=False)
+            if self.artifact_call is not None:
+                # deployed StableHLO artifact: weights are baked constants
+                logits = self.artifact_call(x)
+            else:
+                bound = {
+                    "params": variables["params"],
+                    "batch_stats": variables["batch_stats"],
+                }
+                if int8:
+                    bound["quant"] = variables["quant"]
+                logits = self.model.apply(bound, x, train=False)
             if colorize:
                 from tpuseg.data.class_maps import COLOR_MAP_BGR
                 from tpuseg.ops.pallas_kernels import argmax_colorize
