@@ -92,6 +92,40 @@ def test_proto_codec_roundtrip_all_field_types():
     assert float(n["attrs"]["tensor"]) == 6.0
 
 
+def test_proto_codec_fuzz_tensors():
+    """Random dtypes/shapes/values round-trip bit-exactly through
+    TensorProto raw_data — incl. 0-d scalars, empty dims, and the int64
+    negative-varint path."""
+    rng = np.random.RandomState(7)
+    dtypes = [np.float32, np.float16, np.float64, np.uint8, np.int8,
+              np.int32, np.int64, np.bool_]
+    for trial in range(40):
+        dt = dtypes[trial % len(dtypes)]
+        ndim = trial % 4
+        shape = tuple(int(rng.randint(1, 5)) for _ in range(ndim))
+        if np.dtype(dt) == np.bool_:
+            arr = np.asarray(rng.rand(*shape) > 0.5)
+        elif np.issubdtype(dt, np.integer):
+            info = np.iinfo(dt)
+            arr = np.asarray(rng.randint(
+                max(info.min, -(2**62)), min(int(info.max), 2**62), shape
+            )).astype(dt)
+        else:
+            arr = np.asarray(rng.randn(*shape) * 1e3).astype(dt)
+        name, back = op.parse_tensor(op.tensor_proto(f"t{trial}", arr))
+        assert name == f"t{trial}"
+        assert back.dtype == arr.dtype and back.shape == arr.shape
+        np.testing.assert_array_equal(back, arr)
+
+
+def test_varint_negative_int64_attrs():
+    """Negative attribute ints survive the 10-byte two's-complement varint."""
+    node = op.node_proto("X", [], ["y"], pads=[-1, 0, -(2**40), 3], i=-7)
+    parsed = op.parse_node(node)
+    assert parsed["attrs"]["pads"] == [-1, 0, -(2**40), 3]
+    assert parsed["attrs"]["i"] == -7
+
+
 def test_check_model_catches_unresolved_input():
     node = op.node_proto("Relu", ["ghost"], ["y"])
     graph = op.graph_proto(

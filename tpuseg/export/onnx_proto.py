@@ -111,7 +111,11 @@ def _f_packed_floats(field: int, values: Sequence[float]) -> bytes:
 
 def tensor_proto(name: str, array: np.ndarray) -> bytes:
     """TensorProto: dims=1, data_type=2, name=8, raw_data=9."""
-    array = np.ascontiguousarray(array)
+    # np.asarray, NOT ascontiguousarray: the latter silently promotes 0-d
+    # scalars to shape (1,), which would serialize Clip's min/max as 1-d
+    # tensors where the ONNX spec requires scalars. tobytes() below copies
+    # in C order regardless of the input's contiguity.
+    array = np.asarray(array)
     if array.dtype not in NUMPY_TO_ONNX:
         raise TypeError(f"unsupported initializer dtype {array.dtype}")
     out = bytearray()
