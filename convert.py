@@ -94,6 +94,7 @@ def main(argv=None) -> int:
         cfg.export.output,
         batch=cfg.export.batch,
         dtype=export_dtype,
+        fold_bn=cfg.export.fold_bn,
     )
     print(f"Exported {len(data)} bytes of StableHLO to {cfg.export.output}")
 
@@ -119,7 +120,13 @@ def main(argv=None) -> int:
     err = float(jnp.abs(out - direct).max())
     rel = err / max(float(jnp.abs(direct).max()), 1e-9)
     print(f"Round-trip check: max diff {err:.3e} (rel {rel:.3e})")
-    if not (rel < 1e-2 if export_dtype != "float32" else rel < 1e-5):
+    # bf16 compute: the exported program and the live jit fuse differently,
+    # and each fusion boundary rounds bf16 intermediates (~2^-8 rel worst
+    # case; folding shifts them further) — measured 7e-3 rel on identical
+    # graphs, so bit-level agreement is only expected at fp32 compute
+    exact = (export_dtype == "float32"
+             and cfg.model.compute_dtype == "float32")
+    if not (rel < 1e-5 if exact else rel < 1e-2):
         print("ERROR: exported model diverges from source model")
         return 1
     print("Export is valid!")
@@ -197,15 +204,25 @@ def _export_onnx(cfg, model, variables, export_dtype: str) -> int:
     with structural validation + an executed round-trip self-check — both
     run by tpuseg's own codec/interpreter, since neither onnx nor
     onnxruntime is installed here."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     from tpuseg.export.onnx_export import export_onnx
     from tpuseg.export.onnx_run import check_model, run_model
+    from tpuseg.models.registry import build_model
 
     if export_dtype != "float32":
         print("ERROR: the ONNX exporter emits float32 graphs only; "
               "downstream toolchains own FP16/int8 (README.md:113-117)")
         return 1
+    # the ONNX graph is fp32 semantics of the (fp32-stored) weights, so the
+    # round-trip comparator is the fp32-compute build even when the live
+    # serving config is bf16
+    if cfg.model.compute_dtype != "float32":
+        model = build_model(
+            dataclasses.replace(cfg.model, compute_dtype="float32")
+        )
 
     h, w = cfg.data.height, cfg.data.width
     data = export_onnx(
@@ -272,7 +289,9 @@ def _export_tf(cfg, model, variables, export_dtype: str) -> int:
     err = float(jnp.abs(jnp.asarray(out) - direct).max())
     rel = err / max(float(jnp.abs(direct).max()), 1e-9)
     print(f"Round-trip check: max diff {err:.3e} (rel {rel:.3e})")
-    if not (rel < 1e-2 if export_dtype != "float32" else rel < 1e-3):
+    exact = (export_dtype == "float32"
+             and cfg.model.compute_dtype == "float32")
+    if not (rel < 1e-3 if exact else rel < 1e-2):
         print("ERROR: exported model diverges from source model")
         return 1
     print("Export is valid!")

@@ -171,6 +171,34 @@ def test_convert_cli(tmp_path):
     assert rc == 0
 
 
+def test_convert_cli_bf16_compute(tmp_path):
+    """A bf16-compute serving model exports with the relaxed round-trip
+    tolerance: the exported program and the live jit fuse differently and
+    each fusion boundary rounds bf16 intermediates (~7e-3 rel measured on
+    identical graphs) — this must not trip the fp32 exactness gate."""
+    import convert
+
+    rc = convert.main([
+        "--model.name=unet", "--model.base_filters=4",
+        "--model.compute_dtype=bfloat16",
+        "--data.width=64", "--data.height=32",
+        f"--export.output={tmp_path}/m.stablehlo",
+    ])
+    assert rc == 0
+
+
+def test_convert_cli_fold_bn_off(tmp_path):
+    import convert
+
+    rc = convert.main([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=64", "--data.height=32",
+        "--export.fold_bn=false",
+        f"--export.output={tmp_path}/m.stablehlo",
+    ])
+    assert rc == 0
+
+
 def test_convert_cli_int8(tmp_path):
     import convert
 

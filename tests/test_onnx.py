@@ -236,6 +236,21 @@ def test_convert_cli_onnx(tmp_path):
     assert (tmp_path / "m.onnx").stat().st_size > 1000
 
 
+def test_convert_cli_onnx_bf16_model(tmp_path):
+    """ONNX from a bf16 serving config: the graph is fp32 semantics of the
+    weights, so the round-trip comparator is the fp32 build (not the bf16
+    live model, which differs at bf16 rounding)."""
+    import convert
+
+    rc = convert.main([
+        "--model.name=unet", "--model.base_filters=4",
+        "--model.compute_dtype=bfloat16",
+        "--data.width=64", "--data.height=32",
+        "--export.format=onnx", f"--export.output={tmp_path}/m.onnx",
+    ])
+    assert rc == 0
+
+
 def test_convert_cli_onnx_rejects_fp16(tmp_path):
     import convert
 

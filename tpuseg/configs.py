@@ -203,6 +203,11 @@ class ExportConfig:
     dtype: str = "float32"               # "float32" | "float16" | "int8"
     batch: int = -1                      # -1 = symbolic/dynamic batch dim
     calib_batches: int = 8               # int8 PTQ calibration batches
+    # Fold BatchNorm into conv weights in the stablehlo artifact (smaller
+    # graph; throughput-neutral at batch 64, -25% at 256 — BASELINE.md).
+    # In bf16 compute the fold shifts rounding, so fold_bn=false keeps the
+    # artifact bit-closest to the live model.
+    fold_bn: bool = True
 
 
 @dataclass
