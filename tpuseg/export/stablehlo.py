@@ -50,8 +50,15 @@ def export_model(
     batch: int = -1,
     dtype: str = "float32",
     fold_bn: bool = True,
+    platforms: Tuple[str, ...] = ("cpu", "tpu"),
 ) -> Tuple[bytes, Any]:
     """Serialize the forward to StableHLO; batch=-1 => symbolic batch dim.
+
+    The artifact is lowered for ``platforms`` (default cpu+tpu) so the same
+    file serves anywhere — a cpu-only export raises
+    "exported for ('cpu',) but used on ('tpu',)" the moment it reaches a
+    chip, which is exactly the deploy-from-workstation flow
+    (convert.py --platform=cpu -> inference.py --infer.artifact on TPU).
 
     Returns (serialized bytes, the Exported object). Writes to ``path``.
     """
@@ -74,7 +81,9 @@ def export_model(
     else:
         x_spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
 
-    exported = jax_export.export(jax.jit(serving))(x_spec)
+    exported = jax_export.export(
+        jax.jit(serving), platforms=tuple(platforms)
+    )(x_spec)
     data = exported.serialize()
     if path:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
