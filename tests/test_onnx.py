@@ -200,6 +200,40 @@ def test_mobilenetv2_unet_onnx_no_upsample_head():
     assert rel < 1e-5
 
 
+def test_onnx_matches_torch_reference_semantics():
+    """Cross-framework closure: weights born in TORCH (the reference's
+    framework, via torch_ref + the .pth importer), exported to ONNX by
+    tpuseg, executed by the interpreter — must match the TORCH model's own
+    forward. This validates the ONNX artifact against reference semantics
+    directly, not just against tpuseg's apply."""
+    import torch
+
+    from tests.torch_ref import TorchMobileNetV2UNet, TorchUNet
+    from tpuseg.core.torch_import import import_state_dict
+
+    for tm, flax_model, name, (h, w) in [
+        (TorchUNet(output_channels=10, base_filters=8),
+         UNet(output_channels=10, base_filters=8), "unet", (32, 64)),
+        (TorchMobileNetV2UNet(output_channels=10),
+         MobileNetV2UNet(output_channels=10), "mobilenetv2_unet", (32, 64)),
+    ]:
+        torch.manual_seed(0)
+        for p in tm.parameters():
+            p.data.uniform_(-0.1, 0.1)
+        sd = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+        variables = import_state_dict(sd, name)
+
+        x = np.random.RandomState(3).rand(1, 3, h, w).astype(np.float32)
+        tm.eval()
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+
+        data = export_onnx(flax_model, variables, h, w)
+        assert check_model(data) == []
+        got = run_model(data, {"input": x})["output"]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # the reference artifact contract
 
