@@ -310,6 +310,39 @@ def test_optimizer_options(tmp_path, opt):
     assert np.isfinite(hist[0]["train_loss"])
 
 
+def test_grad_clip_norm(tmp_path):
+    """--train.grad_clip_norm clips the global L2 norm BEFORE the update:
+    with SGD(lr=1) the applied update is exactly -g * (c / ||g||) when
+    ||g|| > c, and training runs end to end with the knob on. (The
+    reference never clips; 0 = off keeps reference-parity Adam.)"""
+    from tpuseg.train.trainer import Trainer
+
+    cfg = load_config([
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=1",
+        "--train.steps_per_epoch=2", "--train.checkpoint_dir=",
+        "--train.optimizer=sgd", "--train.momentum=0.0", "--train.lr=1.0",
+        "--train.grad_clip_norm=0.5", "--train.log_every=0",
+    ])
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=8, weight=1.0),
+    )
+    tr = Trainer(cfg)
+    tx = tr._build_optimizer()
+    assert tx is not None
+    params = {"w": jnp.zeros(3)}
+    grads = {"w": jnp.asarray([3.0, 4.0, 0.0])}  # global norm 5 > c=0.5
+    updates, _ = tx.update(grads, tx.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(updates["w"]),
+        -np.asarray([3.0, 4.0, 0.0]) * (0.5 / 5.0),
+        rtol=1e-6,
+    )
+    hist = tr.train()
+    assert np.isfinite(hist[0]["train_loss"])
+
+
 def test_confusion_matrix_matches_numpy():
     """MXU one-hot-contraction confusion matrix == numpy histogram, incl.
     the chunked >2**24-pixel path (threshold shrunk via monkeypatching)."""

@@ -134,6 +134,9 @@ class TrainConfig:
     # Micro-batches averaged per optimizer update (optax.MultiSteps): a
     # k-times-larger effective batch without the activation memory. 1 = off.
     grad_accum: int = 1
+    # Clip gradients to this global L2 norm before the optimizer update
+    # (optax.clip_by_global_norm). 0 = off (the reference never clips).
+    grad_clip_norm: float = 0.0
     profile_dir: str = ""                # non-empty => jax.profiler trace
     tensorboard_dir: str = ""            # non-empty => TB scalar summaries
     # JSON-lines epoch records (loss, val mIoU, imgs/sec) persisted to disk;

@@ -227,12 +227,16 @@ class Trainer:
         step — a k-times-larger effective batch without k-times the
         activation memory. BN running stats still update per micro-batch
         (same as a torch accumulation loop's ``forward()`` calls).
+
+        ``grad_clip_norm=c`` (>0) clips the gradient's global L2 norm to c
+        before the optimizer sees it; under grad_accum the clip applies to
+        the k-averaged gradient (where torch's clip_grad_norm_ would run).
         """
         import optax
 
         cfg = self.cfg.train
         if (cfg.lr_schedule == "" and cfg.optimizer == "adam"
-                and cfg.grad_accum <= 1):
+                and cfg.grad_accum <= 1 and cfg.grad_clip_norm <= 0):
             return None
         lr = cfg.lr
         if cfg.lr_schedule == "cosine":
@@ -259,6 +263,13 @@ class Trainer:
             tx = optax.sgd(lr, momentum=cfg.momentum)
         else:
             raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+        if cfg.grad_clip_norm > 0:
+            # clip BEFORE the optimizer; under grad_accum the clip applies
+            # to the k-averaged gradient at the inner update (same place a
+            # torch accumulation loop would call clip_grad_norm_)
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip_norm), tx
+            )
         if cfg.grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
         return tx
