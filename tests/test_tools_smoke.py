@@ -57,6 +57,20 @@ def test_ablate_forward_smoke(monkeypatch, capsys, tmp_path):
     assert "{" in capsys.readouterr().out
 
 
+def test_conv_layout_probe_smoke(monkeypatch, capsys, tmp_path):
+    rc = _run_tool(
+        "conv_layout_probe",
+        ["--batch", "2", "--hw", "32", "--c", "8", "--chain", "2"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    # all four formulations ran and timed
+    assert set(rec["results"]) == {"nhwc", "nchw", "gemm_cn", "gemm_sn"}
+    assert all(v["ms"] > 0 for v in rec["results"].values())
+
+
 def test_colorize_bench_smoke(monkeypatch, capsys, tmp_path):
     rc = _run_tool(
         "colorize_bench",
