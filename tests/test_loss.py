@@ -1,0 +1,219 @@
+"""Loss subsystem: torch-parity for weighted/smoothed/ignored CE, and the
+focal/dice extensions.
+
+The reference trains with plain ``nn.CrossEntropyLoss()`` (main.py:99); the
+extended options follow torch ``F.cross_entropy`` semantics exactly —
+weight= (mean divides by summed target-pixel weights), label_smoothing=
+(smooth term weighted per class), ignore_index= (excluded from numerator
+and denominator). Torch (CPU) is the oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from tpuseg.train.loss import (
+    cross_entropy_loss,
+    dice_loss,
+    focal_loss,
+    make_loss_fn,
+)
+
+C = 6
+
+
+def _case(seed=0, b=2, h=5, w=7, ignore_at=None):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(b, h, w, C).astype(np.float32) * 2.0
+    targets = rng.randint(0, C, size=(b, h, w)).astype(np.int32)
+    if ignore_at is not None:
+        targets[0, 0, :3] = ignore_at
+    return logits, targets
+
+
+def _torch_ce(logits, targets, weight=None, s=0.0, ignore=-100):
+    lt = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))).double()
+    tt = torch.from_numpy(targets).long()
+    wt = None if weight is None else torch.from_numpy(np.asarray(weight)).double()
+    return float(
+        F.cross_entropy(
+            lt, tt, weight=wt, label_smoothing=s, ignore_index=ignore
+        )
+    )
+
+
+@pytest.mark.parametrize("smoothing", [0.0, 0.1, 0.3])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_ce_torch_parity(weighted, smoothing):
+    logits, targets = _case()
+    weight = (np.arange(C, dtype=np.float64) * 0.3 + 0.5) if weighted else None
+    ref = _torch_ce(logits, targets, weight=weight, s=smoothing)
+    got = float(
+        cross_entropy_loss(
+            jnp.asarray(logits),
+            jnp.asarray(targets),
+            class_weights=None if weight is None else jnp.asarray(weight, jnp.float32),
+            label_smoothing=smoothing,
+        )
+    )
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+@pytest.mark.parametrize("smoothing", [0.0, 0.2])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_ce_ignore_index_torch_parity(weighted, smoothing):
+    logits, targets = _case(ignore_at=255)
+    weight = (np.arange(C, dtype=np.float64) * 0.3 + 0.5) if weighted else None
+    ref = _torch_ce(logits, targets, weight=weight, s=smoothing, ignore=255)
+    got = float(
+        cross_entropy_loss(
+            jnp.asarray(logits),
+            jnp.asarray(targets),
+            class_weights=None if weight is None else jnp.asarray(weight, jnp.float32),
+            label_smoothing=smoothing,
+            ignore_index=255,
+        )
+    )
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_focal_gamma0_equals_ce():
+    logits, targets = _case(seed=1)
+    ce = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    f0 = float(
+        focal_loss(jnp.asarray(logits), jnp.asarray(targets), gamma=0.0)
+    )
+    assert f0 == pytest.approx(ce, rel=1e-6)
+
+
+def test_focal_downweights_vs_ce():
+    # (1-p_t)^gamma <= 1 per pixel, so focal <= CE with equal weights
+    logits, targets = _case(seed=2)
+    ce = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    f2 = float(
+        focal_loss(jnp.asarray(logits), jnp.asarray(targets), gamma=2.0)
+    )
+    assert 0.0 < f2 < ce
+
+
+def test_focal_ignore_index_drops_pixels():
+    logits, targets = _case(seed=3, ignore_at=255)
+    keep = targets != 255
+    # oracle: focal over only the valid pixels of a flattened copy
+    lv = logits[keep][None]  # [1, Nvalid, C] -> fake H dim
+    tv = targets[keep][None]
+    ref = float(
+        focal_loss(jnp.asarray(lv)[:, :, None, :], jnp.asarray(tv)[:, :, None])
+    )
+    got = float(
+        focal_loss(jnp.asarray(logits), jnp.asarray(targets), ignore_index=255)
+    )
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_dice_perfect_prediction_near_zero():
+    _, targets = _case(seed=4)
+    onehot = np.eye(C, dtype=np.float32)[targets]
+    logits = onehot * 80.0  # softmax ~ one-hot
+    loss = float(dice_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    assert loss == pytest.approx(0.0, abs=1e-3)
+
+
+def test_dice_hand_computed_tiny_case():
+    # 1 image, 2 pixels, 2 classes (pad a third class absent from both):
+    # uniform probs (0.5 each), targets [0, 1].
+    logits = np.zeros((1, 1, 2, 2), np.float32)
+    targets = np.array([[[0, 1]]], np.int32)
+    # per class: inter = 0.5, |p| = 1.0, |t| = 1.0, smooth = 1
+    # dice_c = (2*0.5 + 1) / (1 + 1 + 1) = 2/3; loss = 1 - 2/3
+    loss = float(dice_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    assert loss == pytest.approx(1.0 - 2.0 / 3.0, rel=1e-6)
+
+
+def test_dice_gradient_finite():
+    logits, targets = _case(seed=5)
+    g = jax.grad(
+        lambda l: dice_loss(l, jnp.asarray(targets))
+    )(jnp.asarray(logits))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_make_loss_fn_ce_dice_mix():
+    logits, targets = _case(seed=6)
+    l, t = jnp.asarray(logits), jnp.asarray(targets)
+    combo = make_loss_fn("ce+dice", dice_weight=0.25)(l, t)
+    ce = cross_entropy_loss(l, t)
+    dc = dice_loss(l, t)
+    assert float(combo) == pytest.approx(float(0.75 * ce + 0.25 * dc), rel=1e-6)
+
+
+def test_make_loss_fn_rejects_unknown():
+    with pytest.raises(ValueError, match="unknown loss"):
+        make_loss_fn("hinge")
+
+
+def test_losses_under_jit_and_bf16():
+    logits, targets = _case(seed=7)
+    lb = jnp.asarray(logits, jnp.bfloat16)
+    t = jnp.asarray(targets)
+    for name in ("ce", "focal", "dice", "ce+dice"):
+        fn = jax.jit(make_loss_fn(name, class_weights=None))
+        v = fn(lb, t)
+        assert v.dtype == jnp.float32  # bf16 promoted inside
+        assert bool(jnp.isfinite(v))
+
+
+def test_train_step_with_configured_loss_decreases():
+    from tests.test_train import _toy_batch, _toy_state
+    from tpuseg.train.train_step import make_train_step
+
+    state = _toy_state(lr=3e-3)
+    loss_fn = make_loss_fn(
+        "ce+dice", class_weights=(1.0, 2.0, 1.0, 0.5), label_smoothing=0.05
+    )
+    step = make_train_step(loss_fn=loss_fn)
+    x, y = _toy_batch()
+    losses = []
+    for _ in range(12):
+        state, m = step(state, x, y)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9
+
+
+def test_config_flags_parse():
+    from tpuseg.configs import load_config
+
+    cfg = load_config([
+        "--train.loss=focal",
+        "--train.focal_gamma=1.5",
+        "--train.class_weights=1,2,3",
+        "--train.label_smoothing=0.1",
+        "--train.ignore_index=255",
+    ])
+    assert cfg.train.loss == "focal"
+    assert cfg.train.focal_gamma == 1.5
+    assert cfg.train.class_weights == (1.0, 2.0, 3.0)
+    assert cfg.train.label_smoothing == 0.1
+    assert cfg.train.ignore_index == 255
+
+
+def test_trainer_build_loss_validates_class_weights():
+    from tpuseg.configs import load_config
+    from tpuseg.train.trainer import Trainer
+
+    cfg = load_config([
+        "--model.name=unet",
+        "--model.base_filters=4",
+        "--data.width=32",
+        "--data.height=16",
+        "--train.batch_size=8",
+        "--train.log_every=0",
+        "--train.class_weights=1,2",  # wrong length: 2 != 10 classes
+        '--data.sources=[{"kind":"synthetic","num_samples":8,"weight":1.0}]',
+    ])
+    with pytest.raises(ValueError, match="class_weights"):
+        Trainer(cfg)

@@ -111,6 +111,19 @@ class TrainConfig:
     optimizer: str = "adam"              # "adam" | "adamw" | "sgd"
     weight_decay: float = 1e-4           # adamw only
     momentum: float = 0.9                # sgd only
+    # Loss selection (reference: plain CrossEntropyLoss, main.py:99).
+    # "ce" | "focal" | "dice" | "ce+dice" (tpuseg.train.loss.make_loss_fn).
+    loss: str = "ce"
+    # Per-class CE/focal weights for the road-scene class imbalance: empty
+    # tuple = unweighted; else exactly num_classes floats
+    # (--train.class_weights=1,2,... or YAML list). torch weight= semantics.
+    class_weights: Tuple[float, ...] = ()
+    label_smoothing: float = 0.0         # torch label_smoothing= semantics
+    focal_gamma: float = 2.0             # focal only
+    dice_weight: float = 0.5             # ce+dice mix: (1-w)*CE + w*Dice
+    # Target value excluded from loss + its denominator (torch ignore_index;
+    # e.g. 255 for void pixels). Negative = off (all 0..C-1 targets count).
+    ignore_index: int = -1
     progress: bool = False               # tqdm bar (reference src/train.py:27)
     debug_nans: bool = False             # jax_debug_nans for production runs
     epochs: int = 200                    # main.py:103
@@ -244,6 +257,14 @@ def _coerce(value: str, target_type: Any) -> Any:
             return tuple(parsed)
         return parsed
     except json.JSONDecodeError:
+        if target_type is tuple:
+            # bare comma form for numeric tuples: --train.class_weights=1,2,3
+            try:
+                return tuple(
+                    float(p) for p in value.split(",") if p.strip()
+                )
+            except ValueError:
+                pass
         return value
 
 

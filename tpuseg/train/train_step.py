@@ -84,6 +84,7 @@ def make_train_step(
     donate: bool = True,
     spatial: bool = False,
     augment_fn: Optional[Callable] = None,
+    loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted (state, images, labels) -> (state, metrics) step.
 
@@ -99,7 +100,8 @@ def make_train_step(
     (43 imgs/s measured vs 1178 device-only; BASELINE.md).
     """
     step = _step_body(
-        remat, augment_fn, constrain=_spatial_constraint(mesh, spatial)
+        remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
+        compute_loss=loss_fn,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -144,8 +146,16 @@ def _step_body(
     remat: bool,
     augment_fn: Optional[Callable],
     constrain: Optional[Callable] = None,
+    compute_loss: Optional[Callable] = None,
 ) -> Callable:
-    """The un-jitted single-step body shared by the step factories."""
+    """The un-jitted single-step body shared by the step factories.
+
+    ``compute_loss``: (logits [B,H,W,C], labels [B,H,W]) -> scalar; defaults
+    to the reference's plain CE (tpuseg.train.loss.make_loss_fn for the
+    weighted/focal/dice options).
+    """
+    if compute_loss is None:
+        compute_loss = cross_entropy_loss
 
     def loss_fn(params, state: TrainState, images, labels):
         def fwd(variables, images):
@@ -160,7 +170,7 @@ def _step_body(
         outputs, new_model_state = fwd(
             {"params": params, "batch_stats": state.batch_stats}, images
         )
-        loss = cross_entropy_loss(outputs, labels)
+        loss = compute_loss(outputs, labels)
         return loss, new_model_state["batch_stats"]
 
     def train_step(state: TrainState, images, labels):
@@ -190,6 +200,7 @@ def make_train_multi_step(
     donate: bool = True,
     spatial: bool = False,
     augment_fn: Optional[Callable] = None,
+    loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """K train steps per dispatch via ``lax.scan`` — ONE compiled program,
     ONE host->device round trip, per K optimizer updates.
@@ -208,7 +219,8 @@ def make_train_multi_step(
     already-augmented (f32, i32) batches and keys are ignored.
     """
     body = _step_body(
-        remat, augment_fn, constrain=_spatial_constraint(mesh, spatial)
+        remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
+        compute_loss=loss_fn,
     )
 
     def multi_step(state: TrainState, images, masks, keys):

@@ -143,6 +143,7 @@ class Trainer:
         # spatial=True (computed above) or the step factories shard
         # batch-only and the spatial axis silently replicates (half the
         # chips redoing identical work)
+        loss_fn = self._build_loss()
         if self.steps_per_dispatch > 1:
             from tpuseg.train.train_step import make_train_multi_step
 
@@ -152,6 +153,7 @@ class Trainer:
                 remat=cfg.train.remat,
                 spatial=spatial,
                 augment_fn=self.augment,
+                loss_fn=loss_fn,
             )
         else:
             self.train_step = make_train_step(
@@ -159,6 +161,7 @@ class Trainer:
                 remat=cfg.train.remat,
                 spatial=spatial,
                 augment_fn=self.augment,
+                loss_fn=loss_fn,
             )
         # normalization + label cast run INSIDE the jitted eval step (eager
         # per-batch ops each cost a remote-tunnel dispatch — CLAUDE.md)
@@ -273,6 +276,30 @@ class Trainer:
         if cfg.grad_accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
         return tx
+
+    def _build_loss(self):
+        """None => train_step's default (reference-parity plain CE); else a
+        configured loss closure (tpuseg.train.loss.make_loss_fn)."""
+        cfg = self.cfg.train
+        if (cfg.loss in ("", "ce") and not cfg.class_weights
+                and cfg.label_smoothing == 0.0 and cfg.ignore_index < 0):
+            return None
+        weights = tuple(float(w) for w in cfg.class_weights) or None
+        if weights is not None and len(weights) != self.cfg.model.num_classes:
+            raise ValueError(
+                f"train.class_weights has {len(weights)} entries; model has "
+                f"{self.cfg.model.num_classes} classes"
+            )
+        from tpuseg.train.loss import make_loss_fn
+
+        return make_loss_fn(
+            cfg.loss,
+            class_weights=weights,
+            label_smoothing=cfg.label_smoothing,
+            focal_gamma=cfg.focal_gamma,
+            dice_weight=cfg.dice_weight,
+            ignore_index=cfg.ignore_index if cfg.ignore_index >= 0 else None,
+        )
 
     def _load_init_checkpoint(self, path: str) -> None:
         """Initialize params/batch_stats from a checkpoint (or .pth) WITHOUT
