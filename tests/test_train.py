@@ -762,3 +762,29 @@ def test_history_jsonl_persisted_and_appended_on_resume(tmp_path, mesh8):
     cfg4 = load_config(argv + [f"--train.history_file={tmp_path}/h.jsonl"])
     cfg4.data.sources = cfg.data.sources
     assert Trainer(cfg4)._history_path == f"{tmp_path}/h.jsonl"
+
+
+def test_trainer_early_stopping(mesh8):
+    """min_delta=1.0 can never be beaten (mIoU <= 1), so the first eval
+    sets the early-stop best and every later eval is stale: patience=2
+    stops at epoch 3 of 10. (lr=0 alone does NOT freeze val mIoU — BN
+    running stats still update every train step.)"""
+    from tpuseg.train.trainer import Trainer
+
+    argv = [
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=10",
+        "--train.steps_per_epoch=2", "--train.lr=0.0",
+        "--train.early_stop_patience=2",
+        "--train.early_stop_min_delta=1.0",
+        "--data.val_split=0.25", "--train.log_every=0",
+    ]
+    cfg = load_config(argv)
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+    )
+    hist = Trainer(cfg).train()
+    assert len(hist) == 3
+    assert hist[-1].get("early_stop") is True
+    assert "early_stop" not in hist[0] and "early_stop" not in hist[1]

@@ -130,6 +130,11 @@ class TrainConfig:
     steps_per_epoch: int = 0             # 0 = derive from dataset size
     log_every: int = 50
     eval_every_epochs: int = 1
+    # Stop after this many consecutive evals without val-mIoU improving by
+    # more than early_stop_min_delta (requires a val split). 0 = off (the
+    # reference always runs all 200 epochs, src/train.py:22).
+    early_stop_patience: int = 0
+    early_stop_min_delta: float = 0.0
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 5
     save_every_epochs: int = 1           # reference saves every epoch (train.py:77)

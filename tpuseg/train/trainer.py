@@ -203,6 +203,12 @@ class Trainer:
         if self._history_path == "none":
             self._history_path = ""
         self._best_miou = float("-inf")
+        # early stopping (in-run state: patience counts evals of THIS run,
+        # it is deliberately not checkpointed — a fresh resume gets fresh
+        # patience rather than instantly stopping)
+        self._es_best = float("-inf")
+        self._es_stale = 0
+        self._stop_early = False
         self._tb = None
         if cfg.train.tensorboard_dir:
             # lazy TF import: only pay the cost when summaries are requested
@@ -487,6 +493,8 @@ class Trainer:
                     # leaving self.epoch one behind.
                     self.epoch = epoch + 1
                     self._epoch_end(epoch, [], 0.0, 0)
+                    if self._stop_early:
+                        break
                     continue
                 batch_gen = self.pipeline.train_batches(steps_this)
                 batches = batch_gen
@@ -567,6 +575,10 @@ class Trainer:
                 dt = time.perf_counter() - t0
                 self.epoch = epoch + 1  # completed; saved with checkpoints
                 self._epoch_end(epoch, losses, dt, steps_this)
+                if self._stop_early:
+                    # final state is already checkpointed by _epoch_end
+                    # (save_every_epochs) and the best/ slot is current
+                    break
         finally:
             restore_signal()
             if profiling:
@@ -601,6 +613,22 @@ class Trainer:
         ):
             rec.update(self.evaluate())
             miou = rec.get("val_miou")
+            if miou is not None and cfg.early_stop_patience > 0:
+                if miou > self._es_best + cfg.early_stop_min_delta:
+                    self._es_best = miou
+                    self._es_stale = 0
+                else:
+                    self._es_stale += 1
+                    if self._es_stale >= cfg.early_stop_patience:
+                        self._stop_early = True
+                        rec["early_stop"] = True
+                        log.info(
+                            "early stop: val_miou has not improved by >%g "
+                            "for %d evals (best %.4f)",
+                            cfg.early_stop_min_delta,
+                            self._es_stale,
+                            self._es_best,
+                        )
             if miou is not None and miou > self._best_miou:
                 self._best_miou = miou
                 rec["best"] = True
