@@ -788,3 +788,93 @@ def test_trainer_early_stopping(mesh8):
     assert len(hist) == 3
     assert hist[-1].get("early_stop") is True
     assert "early_stop" not in hist[0] and "early_stop" not in hist[1]
+
+
+def test_ema_step_math():
+    """ema_params follows ema = d*ema + (1-d)*params exactly, starting from
+    a copy of the initial params (SURVEY §2.5 new-component policy: every
+    training feature gets closed-form verification, not just smoke)."""
+    from tpuseg.models.unet import UNet
+
+    model = UNet(output_channels=4, base_filters=4)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 16, 32, 3), lr=1e-2, ema=True
+    )
+    d = 0.5
+    step = make_train_step(donate=False, ema_decay=d)
+    x, y = _toy_batch()
+
+    p0 = jax.tree.map(np.asarray, state.params)
+    e0 = jax.tree.map(np.asarray, state.ema_params)
+    jax.tree.map(np.testing.assert_array_equal, e0, p0)
+
+    state, _ = step(state, x, y)
+    p1 = jax.tree.map(np.asarray, state.params)
+    want = jax.tree.map(lambda e, p: d * e + (1 - d) * p, e0, p1)
+    got = jax.tree.map(np.asarray, state.ema_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6), got, want
+    )
+
+    state, _ = step(state, x, y)
+    p2 = jax.tree.map(np.asarray, state.params)
+    want2 = jax.tree.map(lambda e, p: d * e + (1 - d) * p, want, p2)
+    got2 = jax.tree.map(np.asarray, state.ema_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6), got2, want2
+    )
+    # the average lags the raw weights (they moved; ema is halfway back)
+    assert not np.allclose(
+        got2["inc"]["conv1"]["conv"]["kernel"],
+        p2["inc"]["conv1"]["conv"]["kernel"],
+    )
+
+
+def test_ema_off_state_shape_unchanged():
+    """ema_decay=0 (default): no ema tree anywhere — state leaf is None and
+    the checkpoint payload has no 'ema_params' key, so pre-EMA checkpoints
+    and EMA-off runs keep their historical tree shape."""
+    state = _toy_state()
+    assert state.ema_params is None
+
+
+def test_trainer_ema_train_checkpoint_serve(tmp_path, mesh8):
+    """End-to-end: --train.ema_decay trains, checkpoints BOTH trees, and
+    load_variables (Predictor / tools/eval_miou.py) serves the EMA weights."""
+    from tpuseg.train.trainer import Trainer
+    from tpuseg.infer.predictor import load_variables
+
+    argv = [
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=2",
+        "--train.steps_per_epoch=2", "--train.lr=1e-2",
+        "--train.ema_decay=0.9",
+        "--data.val_split=0.25", "--train.log_every=0",
+        f"--train.checkpoint_dir={tmp_path}/ck",
+    ]
+    cfg = load_config(argv)
+    cfg.data.sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+    )
+    tr = Trainer(cfg)
+    tr.train()
+    raw = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params)[0]
+    )
+    ema = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.ema_params)[0]
+    )
+    assert not np.allclose(raw, ema)  # the average lags after 4 lr=1e-2 steps
+
+    served = load_variables(f"{tmp_path}/ck", "unet", init_fn=None)
+    got = np.asarray(jax.tree_util.tree_leaves(served["params"])[0])
+    np.testing.assert_allclose(got, ema)
+
+    # resume restores the EMA tree (not re-seeded from raw params)
+    cfg2 = load_config(argv)
+    cfg2.data.sources = cfg.data.sources
+    tr2 = Trainer(cfg2)
+    assert tr2.maybe_resume()
+    got2 = np.asarray(jax.tree_util.tree_leaves(tr2.state.ema_params)[0])
+    np.testing.assert_allclose(got2, ema)

@@ -135,6 +135,11 @@ class TrainConfig:
     # reference always runs all 200 epochs, src/train.py:22).
     early_stop_patience: int = 0
     early_stop_min_delta: float = 0.0
+    # Exponential moving average of the weights: ema = d*ema + (1-d)*params
+    # after every optimizer update. 0 = off (reference has none). When on,
+    # eval/best-selection and serving (Predictor/eval_miou via
+    # load_variables) use the EMA weights; the checkpoint carries both.
+    ema_decay: float = 0.0
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 5
     save_every_epochs: int = 1           # reference saves every epoch (train.py:77)

@@ -61,8 +61,14 @@ def load_variables(checkpoint: str, model_name: str, init_fn) -> dict:
         with CheckpointManager(checkpoint) as mgr:
             restored = mgr.restore()
         state = restored["state"] if "state" in restored else restored
+        params = state["params"]
+        if state.get("ema_params"):
+            # EMA-trained run (--train.ema_decay): serve the averaged
+            # weights — they are what the trainer evaluated and selected
+            # the "best" checkpoint by
+            params = state["ema_params"]
         out = {
-            "params": state["params"],
+            "params": params,
             "batch_stats": state.get("batch_stats", {}),
         }
         if state.get("quant"):  # calibrated int8 artifact (export.int8_full)

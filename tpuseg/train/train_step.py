@@ -29,9 +29,16 @@ from tpuseg.train.metrics import confusion_matrix
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState + BatchNorm running statistics."""
+    """flax TrainState + BatchNorm running statistics.
+
+    ``ema_params``: exponential moving average of ``params`` (None when EMA
+    is off — a None pytree leaf is an empty subtree, so checkpoints written
+    without EMA restore unchanged). BatchNorm running stats are already a
+    running average, so they are shared rather than double-averaged.
+    """
 
     batch_stats: Any = None
+    ema_params: Any = None
 
 
 def create_train_state(
@@ -43,11 +50,14 @@ def create_train_state(
     b2: float = 0.999,
     eps: float = 1e-8,
     tx: Optional[optax.GradientTransformation] = None,
+    ema: bool = False,
 ) -> TrainState:
     """Initialize params/batch_stats and the Adam optimizer.
 
     Defaults mirror the reference: Adam(lr=1.5e-4) with torch defaults
-    (main.py:100).
+    (main.py:100). ``ema=True`` seeds ``ema_params`` with a copy of the
+    initial params (distinct buffers — params and ema_params are both
+    donated by the step, so they must not alias).
     """
     from tpuseg.core.device_io import init_on_host
 
@@ -65,9 +75,11 @@ def create_train_state(
         params = variables["params"]
         # tx.init inside the same host program: optax's zeros_like trees
         # are otherwise another per-leaf eager dispatch storm
-        return params, variables.get("batch_stats", {}), tx.init(params)
+        ema_params = jax.tree.map(jnp.copy, params) if ema else None
+        return (params, variables.get("batch_stats", {}), tx.init(params),
+                ema_params)
 
-    params, batch_stats, opt_state = init_on_host(_init, rng)
+    params, batch_stats, opt_state, ema_params = init_on_host(_init, rng)
     return TrainState(
         step=0,
         apply_fn=model.apply,
@@ -75,6 +87,7 @@ def create_train_state(
         batch_stats=batch_stats,
         tx=tx,
         opt_state=opt_state,
+        ema_params=ema_params,
     )
 
 
@@ -85,8 +98,13 @@ def make_train_step(
     spatial: bool = False,
     augment_fn: Optional[Callable] = None,
     loss_fn: Optional[Callable] = None,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the jitted (state, images, labels) -> (state, metrics) step.
+
+    ``ema_decay`` > 0 additionally maintains ``state.ema_params`` as
+    ema = decay*ema + (1-decay)*params after each optimizer update (the
+    state must have been created with ``create_train_state(..., ema=True)``).
 
     ``spatial=True`` additionally shards the image-height dim over the mesh's
     "spatial" axis; XLA's SPMD partitioner inserts the conv halo exchanges
@@ -101,7 +119,7 @@ def make_train_step(
     """
     step = _step_body(
         remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
-        compute_loss=loss_fn,
+        compute_loss=loss_fn, ema_decay=ema_decay,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -147,6 +165,7 @@ def _step_body(
     augment_fn: Optional[Callable],
     constrain: Optional[Callable] = None,
     compute_loss: Optional[Callable] = None,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """The un-jitted single-step body shared by the step factories.
 
@@ -178,6 +197,14 @@ def _step_body(
             loss_fn, has_aux=True
         )(state.params, state, images, labels)
         state = state.apply_gradients(grads=grads, batch_stats=new_batch_stats)
+        if ema_decay > 0.0:
+            # plain tree-map: two fused HBM streams over the param bytes,
+            # negligible next to the step's conv FLOPs
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_params, state.params,
+            )
+            state = state.replace(ema_params=ema)
         metrics = {"loss": loss}
         return state, metrics
 
@@ -201,6 +228,7 @@ def make_train_multi_step(
     spatial: bool = False,
     augment_fn: Optional[Callable] = None,
     loss_fn: Optional[Callable] = None,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """K train steps per dispatch via ``lax.scan`` — ONE compiled program,
     ONE host->device round trip, per K optimizer updates.
@@ -220,7 +248,7 @@ def make_train_multi_step(
     """
     body = _step_body(
         remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
-        compute_loss=loss_fn,
+        compute_loss=loss_fn, ema_decay=ema_decay,
     )
 
     def multi_step(state: TrainState, images, masks, keys):

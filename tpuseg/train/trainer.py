@@ -126,6 +126,7 @@ class Trainer:
             b2=cfg.train.b2,
             eps=cfg.train.eps,
             tx=tx,
+            ema=cfg.train.ema_decay > 0,
         )
         if cfg.train.init_checkpoint:
             self._load_init_checkpoint(cfg.train.init_checkpoint)
@@ -154,6 +155,7 @@ class Trainer:
                 spatial=spatial,
                 augment_fn=self.augment,
                 loss_fn=loss_fn,
+                ema_decay=cfg.train.ema_decay,
             )
         else:
             self.train_step = make_train_step(
@@ -162,6 +164,7 @@ class Trainer:
                 spatial=spatial,
                 augment_fn=self.augment,
                 loss_fn=loss_fn,
+                ema_decay=cfg.train.ema_decay,
             )
         # normalization + label cast run INSIDE the jitted eval step (eager
         # per-batch ops each cost a remote-tunnel dispatch — CLAUDE.md)
@@ -344,14 +347,20 @@ class Trainer:
         }
 
     def _checkpoint_payload(self) -> dict:
+        state = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": np.asarray(self.step, np.int64),
+            "epoch": np.asarray(self.epoch, np.int64),
+        }
+        if self.state.ema_params is not None:
+            # separate key (not a None-leaf in every checkpoint): EMA-off
+            # checkpoints keep their historical tree shape and restore
+            # against the EMA-off template unchanged
+            state["ema_params"] = self.state.ema_params
         return {
-            "state": {
-                "params": self.state.params,
-                "batch_stats": self.state.batch_stats,
-                "opt_state": self.state.opt_state,
-                "step": np.asarray(self.step, np.int64),
-                "epoch": np.asarray(self.epoch, np.int64),
-            },
+            "state": state,
             "sampler": self._sampler_state_pytree(),
         }
 
@@ -363,16 +372,16 @@ class Trainer:
     def maybe_resume(self) -> bool:
         if self.ckpt is None or self.ckpt.latest_step() is None:
             return False
-        template = {
-            "state": {
-                "params": self.state.params,
-                "batch_stats": self.state.batch_stats,
-                "opt_state": self.state.opt_state,
-                "step": np.asarray(0, np.int64),
-                "epoch": np.asarray(0, np.int64),
-            },
-            "sampler": self._sampler_state_pytree(),
+        tstate = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": np.asarray(0, np.int64),
+            "epoch": np.asarray(0, np.int64),
         }
+        if self.state.ema_params is not None:
+            tstate["ema_params"] = self.state.ema_params
+        template = {"state": tstate, "sampler": self._sampler_state_pytree()}
         has_epoch = True
         try:
             restored = self.ckpt.restore(template=template)
@@ -386,6 +395,7 @@ class Trainer:
             params=st["params"],
             batch_stats=st["batch_stats"],
             opt_state=st["opt_state"],
+            ema_params=st.get("ema_params", self.state.ema_params),
         )
         self.step = int(st["step"])
         if has_epoch:
@@ -657,10 +667,15 @@ class Trainer:
         # ONE dispatch per batch (normalize/cast fused into eval_step), the
         # per-batch outputs stay on device, and ONE jitted tree-sum reduces
         # them at the end; the only host fetches are the three final scalars
+        state = self.state
+        if self.cfg.train.ema_decay > 0:
+            # evaluate (and therefore select "best" by) the EMA weights —
+            # the same weights load_variables serves from the checkpoint
+            state = state.replace(params=state.ema_params)
         outs = []
         for images, masks, n_valid in self.pipeline.eval_batches():
             outs.append(
-                self.eval_step(self.state, images, masks, jnp.asarray(n_valid))
+                self.eval_step(state, images, masks, jnp.asarray(n_valid))
             )
         if not outs:
             return {}
