@@ -140,6 +140,13 @@ class TrainConfig:
     # eval/best-selection and serving (Predictor/eval_miou via
     # load_variables) use the EMA weights; the checkpoint carries both.
     ema_decay: float = 0.0
+    # Quantization-aware training: every ConvBNAct conv runs fake-quantized
+    # (activations + per-channel kernels rounded to the int8 grids of
+    # export.int8_full, straight-through gradients) so the weights adapt to
+    # int8 deployment numerics. Eval/checkpoints stay fp32; serving int8
+    # still goes through the normal post-training calibrate() pass, which
+    # QAT-trained weights tolerate with less accuracy loss.
+    qat: bool = False
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 5
     save_every_epochs: int = 1           # reference saves every epoch (train.py:77)

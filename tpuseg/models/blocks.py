@@ -43,6 +43,14 @@ class ConvBNAct(nn.Module):
     with per-output-channel scales, and the int32 accumulator is rescaled to
     float for BN + activation. The fp32 path is untouched when the
     collection is absent.
+
+    Quantization-aware training: when a "qat" marker collection is bound
+    (tpuseg.ops.fake_quant.build_qat_markers; --train.qat) and train=True,
+    the conv runs fake-quantized — input and kernel rounded to the int8
+    grids the deployed graph uses, straight-through gradients — so the
+    weights adapt to int8 deployment numerics. Like the int8 path, QAT
+    materializes the upsample+concat (the deployed graph's shape), so the
+    subpixel/Pallas upconcat rewrites are bypassed while it is on.
     """
 
     features: int
@@ -117,6 +125,37 @@ class ConvBNAct(nn.Module):
             y = y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
         return y.astype(self.dtype)
 
+    def _qat_conv(self, x):
+        """Fake-quantized conv for QAT (straight-through estimator).
+
+        Forward numerics mirror the deployed int8 graph of _quantized_conv:
+        the input rounds onto a symmetric per-tensor int8 grid and the
+        kernel onto int8_full.calibrate's exact per-output-channel grid.
+        Gradients pass straight through to params["conv"] (read via the
+        bound scope, so they flow to the same leaves nn.Conv would own).
+        """
+        from jax import lax
+
+        from tpuseg.ops.fake_quant import fake_quant_act, fake_quant_kernel
+
+        p = self.scope.get_variable("params", "conv")
+        xf = fake_quant_act(x)
+        kf = fake_quant_kernel(p["kernel"])
+        pad = self.padding
+        padding = pad if isinstance(pad, str) else tuple(tuple(q) for q in pad)
+        y = lax.conv_general_dilated(
+            xf.astype(self.dtype),
+            kf.astype(self.dtype),
+            window_strides=self.strides,
+            padding=padding,
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = p["bias"].astype(y.dtype)
+            y = y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+        return y
+
     def _fused_upconcat(self, skip, up_in):
         """First decoder conv via the Pallas fused upsample+concat+conv
         kernel (tpuseg.ops.pallas_kernels) — the concat never materializes.
@@ -138,6 +177,12 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, upconcat_pair=None):
         conv_done = False
+        qat_on = (
+            train
+            and not self.is_initializing()
+            and self.has_variable("qat", "on")
+            and self.has_variable("params", "conv")
+        )
         if upconcat_pair is not None:
             skip, up_in = upconcat_pair
             eligible = (
@@ -147,6 +192,7 @@ class ConvBNAct(nn.Module):
                 and self.strides == (1, 1)
                 and self.groups == 1
                 and not self.has_variable("quant", "kernel_q")
+                and not qat_on  # QAT trains the deployed (materialized) graph
             )
             if eligible and self.upconcat_impl == "subpixel":
                 # exact composite-kernel rewrite; valid in train AND eval
@@ -175,6 +221,8 @@ class ConvBNAct(nn.Module):
             self.sow("intermediates", "conv_in", jnp.asarray(x, jnp.float32))
             if not train and self.has_variable("quant", "kernel_q"):
                 x = self._quantized_conv(x)
+            elif qat_on:
+                x = self._qat_conv(x)
             elif (
                 self.stem_s2d
                 and not self.is_initializing()

@@ -99,12 +99,17 @@ def make_train_step(
     augment_fn: Optional[Callable] = None,
     loss_fn: Optional[Callable] = None,
     ema_decay: float = 0.0,
+    extra_collections: Optional[dict] = None,
 ) -> Callable:
     """Build the jitted (state, images, labels) -> (state, metrics) step.
 
     ``ema_decay`` > 0 additionally maintains ``state.ema_params`` as
     ema = decay*ema + (1-decay)*params after each optimizer update (the
     state must have been created with ``create_train_state(..., ema=True)``).
+
+    ``extra_collections``: extra Flax variable collections bound (read-only)
+    into every forward — e.g. {"qat": build_qat_markers(params)} switches
+    ConvBNAct to fake-quantized convs (quantization-aware training).
 
     ``spatial=True`` additionally shards the image-height dim over the mesh's
     "spatial" axis; XLA's SPMD partitioner inserts the conv halo exchanges
@@ -120,6 +125,7 @@ def make_train_step(
     step = _step_body(
         remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
         compute_loss=loss_fn, ema_decay=ema_decay,
+        extra_collections=extra_collections,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -166,6 +172,7 @@ def _step_body(
     constrain: Optional[Callable] = None,
     compute_loss: Optional[Callable] = None,
     ema_decay: float = 0.0,
+    extra_collections: Optional[dict] = None,
 ) -> Callable:
     """The un-jitted single-step body shared by the step factories.
 
@@ -186,9 +193,10 @@ def _step_body(
 
         if remat:
             fwd = jax.checkpoint(fwd)
-        outputs, new_model_state = fwd(
-            {"params": params, "batch_stats": state.batch_stats}, images
-        )
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        if extra_collections:
+            variables.update(extra_collections)
+        outputs, new_model_state = fwd(variables, images)
         loss = compute_loss(outputs, labels)
         return loss, new_model_state["batch_stats"]
 
@@ -229,6 +237,7 @@ def make_train_multi_step(
     augment_fn: Optional[Callable] = None,
     loss_fn: Optional[Callable] = None,
     ema_decay: float = 0.0,
+    extra_collections: Optional[dict] = None,
 ) -> Callable:
     """K train steps per dispatch via ``lax.scan`` — ONE compiled program,
     ONE host->device round trip, per K optimizer updates.
@@ -249,6 +258,7 @@ def make_train_multi_step(
     body = _step_body(
         remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
         compute_loss=loss_fn, ema_decay=ema_decay,
+        extra_collections=extra_collections,
     )
 
     def multi_step(state: TrainState, images, masks, keys):

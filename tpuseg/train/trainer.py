@@ -145,6 +145,14 @@ class Trainer:
         # batch-only and the spatial axis silently replicates (half the
         # chips redoing identical work)
         loss_fn = self._build_loss()
+        extra_collections = None
+        if cfg.train.qat:
+            # quantization-aware training: bind the "qat" marker collection
+            # so every ConvBNAct conv runs fake-quantized (straight-through
+            # int8 rounding noise matching export.int8_full's grids)
+            from tpuseg.ops.fake_quant import build_qat_markers
+
+            extra_collections = {"qat": build_qat_markers(self.state.params)}
         if self.steps_per_dispatch > 1:
             from tpuseg.train.train_step import make_train_multi_step
 
@@ -156,6 +164,7 @@ class Trainer:
                 augment_fn=self.augment,
                 loss_fn=loss_fn,
                 ema_decay=cfg.train.ema_decay,
+                extra_collections=extra_collections,
             )
         else:
             self.train_step = make_train_step(
@@ -165,6 +174,7 @@ class Trainer:
                 augment_fn=self.augment,
                 loss_fn=loss_fn,
                 ema_decay=cfg.train.ema_decay,
+                extra_collections=extra_collections,
             )
         # normalization + label cast run INSIDE the jitted eval step (eager
         # per-batch ops each cost a remote-tunnel dispatch — CLAUDE.md)
