@@ -1,0 +1,149 @@
+"""tools/serve.py — the HTTP serving daemon around the Predictor.
+
+The reference serves by running inference.py over a video; serve.py is the
+request/response production surface. These tests boot the real server on an
+ephemeral port and exercise every endpoint through actual HTTP.
+"""
+
+import importlib.util
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_serve():
+    spec = importlib.util.spec_from_file_location(
+        "tpuseg_tool_serve", os.path.join(ROOT, "tools", "serve.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def server():
+    import cv2  # noqa: F401  (skip cleanly if opencv is absent)
+
+    serve = _load_serve()
+    ns = type("A", (), {})()
+    ns.checkpoint = ""
+    ns.artifact = ""
+    ns.model = "unet"
+    ns.num_classes = 10
+    ns.base_filters = 4
+    ns.width = 64
+    ns.height = 32
+    ns.bf16_head = False
+    ns.normalize_mean = ""
+    ns.normalize_std = ""
+    ns.host = "127.0.0.1"
+    ns.port = 0  # ephemeral
+    httpd, state = serve.make_server(ns)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    host, port = httpd.server_address[:2]
+    yield f"http://{host}:{port}", state
+    httpd.shutdown()
+    httpd.server_close()
+    thread.join(timeout=10)
+
+
+def _png_frame(seed=0, h=48, w=80):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    frame_bgr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    ok, png = cv2.imencode(".png", frame_bgr)
+    assert ok
+    return frame_bgr, png.tobytes()
+
+
+def _post(url, body, headers=None):
+    req = urllib.request.Request(url, data=body, headers=headers or {})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_healthz(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        assert r.status == 200
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["input_hw"] == [32, 64]
+
+
+def test_predict_png_matches_direct_predictor(server):
+    import cv2
+
+    base, state = server
+    frame_bgr, png = _png_frame(seed=1)
+    with _post(base + "/predict", png) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "image/png"
+        mask = cv2.imdecode(
+            np.frombuffer(r.read(), np.uint8), cv2.IMREAD_UNCHANGED
+        )
+    assert mask.shape == frame_bgr.shape[:2]
+    assert mask.dtype == np.uint8
+    assert mask.max() < 10
+    rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+    direct = state.predictor(rgb[None])[0]
+    np.testing.assert_array_equal(mask, direct)
+
+
+def test_predict_json_counts(server):
+    base, _ = server
+    frame_bgr, png = _png_frame(seed=2)
+    with _post(base + "/predict?format=json", png) as r:
+        out = json.loads(r.read())
+    assert out["shape"] == list(frame_bgr.shape[:2])
+    assert len(out["class_pixel_counts"]) == 10
+    assert sum(out["class_pixel_counts"]) == frame_bgr.shape[0] * frame_bgr.shape[1]
+
+
+def test_overlay_and_car_header(server):
+    import cv2
+
+    base, _ = server
+    frame_bgr, png = _png_frame(seed=3)
+    with _post(base + "/overlay", png) as r:
+        assert r.status == 200
+        assert "X-Cars" in r.headers
+        blended = cv2.imdecode(
+            np.frombuffer(r.read(), np.uint8), cv2.IMREAD_COLOR
+        )
+    assert blended.shape == frame_bgr.shape
+    assert int(r.headers["X-Cars"]) >= 0
+
+
+def test_bad_body_and_unknown_path(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict", b"this is not an image")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/nope", b"x")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(base + "/predict", timeout=60)  # GET
+    assert e.value.code == 404
+
+
+def test_any_upload_size_single_program(server):
+    """Host preprocess makes the device program upload-size independent —
+    a second, different-size upload must not require a new compile (the
+    jit cache stays at one entry)."""
+    base, state = server
+    n_before = len(state.predictor._jitted)
+    for seed, (h, w) in ((4, (30, 50)), (5, (100, 160))):
+        _, png = _png_frame(seed=seed, h=h, w=w)
+        with _post(base + "/predict", png) as r:
+            assert r.status == 200
+    assert len(state.predictor._jitted) == n_before == 1

@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""HTTP serving daemon: the Predictor behind a tiny stdlib HTTP API.
+
+The reference's serving story is "run inference.py on a video file"
+(/root/reference/inference.py:149-176). This is tpuseg's request/response
+production counterpart: one process owns the chip and ONE compiled
+model-size program (host cv2 preprocess makes the device program
+upload-size independent, exactly like the video pipeline's
+--infer.preprocess_on_host route), and clients POST images to get class
+masks or the reference-semantics overlay back. stdlib http.server only —
+no serving-framework dependency.
+
+    python tools/serve.py --checkpoint checkpoints --port 8017
+    python tools/serve.py --artifact exported/model.stablehlo --port 8017
+
+    curl -s localhost:8017/healthz
+    curl -s -X POST --data-binary @road.png localhost:8017/predict -o mask.png
+    curl -s -X POST --data-binary @road.png 'localhost:8017/predict?format=json'
+    curl -s -X POST --data-binary @road.png localhost:8017/overlay -o out.png
+
+Endpoints:
+    GET  /healthz              {"status":"ok", model, input_hw, requests}
+    POST /predict              PNG uint8 class-id mask (image/png) at the
+                               uploaded image's own size
+    POST /predict?format=json  {"shape", "class_pixel_counts"}
+    POST /overlay              blended overlay PNG — road cleanup, car boxes
+                               + distance labels, 0.6/0.4 blend (bitwise the
+                               reference's inference.py:48-146 semantics);
+                               car count in the X-Cars response header
+
+Batch-1 request/response is the right shape for an interactive API; for
+bulk-throughput serving use inference.py's batched double-buffered pipeline
+(211-272 fps end-to-end on a v5e — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_predictor(args):
+    """Predictor with serving-friendly defaults: batch 1, host cv2
+    preprocess (one compiled program for every upload size), host nearest
+    upscale (fetch stays model-sized)."""
+    from tpuseg.configs import ModelConfig
+    from tpuseg.infer.predictor import Predictor
+
+    cfg = ModelConfig(
+        name=args.model,
+        num_classes=args.num_classes,
+        base_filters=args.base_filters,
+        head_fp32=not args.bf16_head,
+    )
+    mean = (
+        tuple(float(v) for v in args.normalize_mean.split(","))
+        if args.normalize_mean else None
+    )
+    std = (
+        tuple(float(v) for v in args.normalize_std.split(","))
+        if args.normalize_std else None
+    )
+    return Predictor(
+        cfg,
+        checkpoint=args.checkpoint,
+        artifact=args.artifact,
+        input_hw=(args.height, args.width),
+        batch_size=1,
+        preprocess_on_host=True,
+        upscale_on_host=True,
+        normalize_mean=mean,
+        normalize_std=std,
+    )
+
+
+class _State:
+    """Shared across handler instances: the predictor, its lock (one chip,
+    one program — requests serialize at the device), and counters."""
+
+    def __init__(self, predictor, model_name: str, num_classes: int):
+        self.predictor = predictor
+        self.model_name = model_name
+        self.num_classes = num_classes
+        self.lock = threading.Lock()
+        self.requests = 0
+
+
+def _make_handler(state: _State):
+    import cv2
+    import numpy as np
+
+    class Handler(BaseHTTPRequestHandler):
+        # ThreadingHTTPServer + HTTP/1.1 keep-alive
+        protocol_version = "HTTP/1.1"
+
+        def _send(self, code: int, body: bytes, ctype: str, extra=()):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if urlparse(self.path).path != "/healthz":
+                return self._send_json(404, {"error": "unknown path"})
+            h, w = state.predictor.input_hw
+            self._send_json(200, {
+                "status": "ok",
+                "model": state.model_name,
+                "input_hw": [h, w],
+                "requests": state.requests,
+            })
+
+        def _read_image(self):
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if length <= 0:
+                return None
+            raw = self.rfile.read(length)
+            frame_bgr = cv2.imdecode(
+                np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR
+            )
+            return frame_bgr  # None if undecodable
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path not in ("/predict", "/overlay"):
+                return self._send_json(404, {"error": "unknown path"})
+            frame_bgr = self._read_image()
+            if frame_bgr is None:
+                return self._send_json(
+                    400, {"error": "body is not a decodable image"}
+                )
+            # model input is RGB (the reference's BGR2RGB, inference.py:33)
+            rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+            with state.lock:
+                classes = state.predictor(rgb[None])[0]
+                state.requests += 1
+            if url.path == "/predict":
+                fmt = parse_qs(url.query).get("format", ["png"])[0]
+                if fmt == "json":
+                    counts = np.bincount(
+                        classes.reshape(-1), minlength=state.num_classes
+                    )
+                    return self._send_json(200, {
+                        "shape": list(classes.shape),
+                        "class_pixel_counts": counts.tolist(),
+                    })
+                ok, png = cv2.imencode(".png", classes)
+                return self._send(200, png.tobytes(), "image/png")
+            # /overlay: the reference's full postprocess semantics
+            from tpuseg.infer.postprocess import overlay_predictions
+
+            blended, detected = overlay_predictions(frame_bgr, classes)
+            ok, png = cv2.imencode(".png", blended)
+            return self._send(
+                200, png.tobytes(), "image/png",
+                extra=(("X-Cars", str(detected.get("cars", 0))),),
+            )
+
+        def log_message(self, fmt, *fmt_args):  # one quiet line per request
+            sys.stderr.write(
+                "serve: %s %s\n" % (self.command or "?", self.path)
+            )
+
+    return Handler
+
+
+def make_server(args):
+    """Build (httpd, state); warmed up — the first client request never
+    pays a compile."""
+    import numpy as np
+
+    predictor = build_predictor(args)
+    # warm-up: compiles the one model-size program and proves the chain
+    warm = np.zeros((1, 64, 64, 3), np.uint8)
+    predictor(warm)
+    state = _State(predictor, args.model, args.num_classes)
+    httpd = ThreadingHTTPServer(
+        (args.host, args.port), _make_handler(state)
+    )
+    return httpd, state
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--artifact", default="")
+    p.add_argument("--model", default="mobilenetv2_unet")
+    p.add_argument("--num_classes", type=int, default=10)
+    p.add_argument("--base_filters", type=int, default=0)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=128)
+    p.add_argument("--bf16_head", action="store_true")
+    p.add_argument("--normalize_mean", default="")
+    p.add_argument("--normalize_std", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8017)
+    p.add_argument("--platform", default="")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from tpuseg.core.platform import enable_compile_cache
+
+    enable_compile_cache()
+
+    httpd, _ = make_server(args)
+    host, port = httpd.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}",
+                      "model": args.model}), flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
