@@ -7,6 +7,7 @@ from typing import Callable, Dict
 import jax.numpy as jnp
 
 from tpuseg.configs import ModelConfig
+from tpuseg.models.fpn import MobileNetV2FPN
 from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
 from tpuseg.models.unet import LightUNet, UNet
 
@@ -24,6 +25,16 @@ MODEL_REGISTRY: Dict[str, Callable] = {
         stem_s2d=cfg.stem_s2d,
         up_subpixel=cfg.up_subpixel,
         head_fp32=cfg.head_fp32,
+    ),
+    # second decoder family (semantic FPN; no reference counterpart) —
+    # constant-width pyramid, MXU-lane-aligned; base_filters sets the
+    # pyramid width (default 128 = one lane tile)
+    "mobilenetv2_fpn": lambda cfg: MobileNetV2FPN(
+        output_channels=cfg.num_classes,
+        width_mult=cfg.width_mult,
+        fpn_channels=cfg.base_filters or 128,
+        dtype=_dtype(cfg),
+        stem_s2d=cfg.stem_s2d,
     ),
     "unet": lambda cfg: UNet(
         output_channels=cfg.num_classes,
