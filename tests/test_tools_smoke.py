@@ -160,3 +160,21 @@ def test_export_synthetic_dataset_roundtrip(monkeypatch, capsys, tmp_path):
     res = json.loads(line)
     assert res["n_images"] == 3
     assert 0.0 <= res["miou"] <= 1.0
+
+
+def test_model_bench_smoke(monkeypatch, capsys, tmp_path):
+    rc = _run_tool(
+        "model_bench",
+        ["--model", "unet", "--base_filters", "4", "--batch", "2",
+         "--size", "64x32", "--chain", "2", "--platform", "cpu",
+         "--history", str(tmp_path / "hist.json")],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["metric"] == "unet_infer_64x32_fps_per_chip"
+    assert rec["value"] > 0
+    assert rec["config"]["model"] == "unet"
+    # cpu smoke runs never append to the bench history
+    assert not (tmp_path / "hist.json").exists()

