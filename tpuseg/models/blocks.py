@@ -57,6 +57,11 @@ class ConvBNAct(nn.Module):
     kernel: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
     padding: Any = ((1, 1), (1, 1))
+    # atrous/dilated conv (ASPP, tpuseg.models.deeplab). Threaded through
+    # ALL apply-time conv paths (fp32, int8, QAT) so the deployed graph
+    # keeps the dilation; callers pass dilation-aware explicit padding
+    # (((d,d),(d,d)) for a SAME 3x3).
+    dilation: Tuple[int, int] = (1, 1)
     groups: int = 1
     use_bias: bool = True
     act: Optional[Callable] = nn.relu
@@ -115,6 +120,7 @@ class ConvBNAct(nn.Module):
             kq,
             window_strides=self.strides,
             padding=padding,
+            rhs_dilation=self.dilation,
             feature_group_count=self.groups,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp_.int32,
@@ -148,6 +154,7 @@ class ConvBNAct(nn.Module):
             kf.astype(self.dtype),
             window_strides=self.strides,
             padding=padding,
+            rhs_dilation=self.dilation,
             feature_group_count=self.groups,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
@@ -190,6 +197,7 @@ class ConvBNAct(nn.Module):
                 and self.has_variable("params", "conv")
                 and self.kernel == (3, 3)
                 and self.strides == (1, 1)
+                and self.dilation == (1, 1)
                 and self.groups == 1
                 and not self.has_variable("quant", "kernel_q")
                 and not qat_on  # QAT trains the deployed (materialized) graph
@@ -235,6 +243,7 @@ class ConvBNAct(nn.Module):
                 # apply-time path, CLAUDE.md invariant)
                 and tuple(self.kernel) == (3, 3)
                 and tuple(self.strides) == (2, 2)
+                and tuple(self.dilation) == (1, 1)
                 and not self.use_bias
                 and self.groups == 1
             ):
@@ -245,6 +254,7 @@ class ConvBNAct(nn.Module):
                     self.kernel,
                     strides=self.strides,
                     padding=self.padding,
+                    kernel_dilation=self.dilation,
                     feature_group_count=self.groups,
                     use_bias=self.use_bias,
                     dtype=self.dtype,

@@ -7,6 +7,7 @@ from typing import Callable, Dict
 import jax.numpy as jnp
 
 from tpuseg.configs import ModelConfig
+from tpuseg.models.deeplab import MobileNetV2DeepLab
 from tpuseg.models.fpn import MobileNetV2FPN
 from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
 from tpuseg.models.unet import LightUNet, UNet
@@ -33,6 +34,16 @@ MODEL_REGISTRY: Dict[str, Callable] = {
         output_channels=cfg.num_classes,
         width_mult=cfg.width_mult,
         fpn_channels=cfg.base_filters or 128,
+        dtype=_dtype(cfg),
+        stem_s2d=cfg.stem_s2d,
+    ),
+    # third decoder family (DeepLabV3+; no reference counterpart) — ASPP
+    # context at 1/32 + one low-level skip at 1/4; base_filters sets the
+    # ASPP/decoder width (default 256)
+    "mobilenetv2_deeplab": lambda cfg: MobileNetV2DeepLab(
+        output_channels=cfg.num_classes,
+        width_mult=cfg.width_mult,
+        aspp_channels=cfg.base_filters or 256,
         dtype=_dtype(cfg),
         stem_s2d=cfg.stem_s2d,
     ),
