@@ -147,6 +147,19 @@ class TrainConfig:
     # still goes through the normal post-training calibrate() pass, which
     # QAT-trained weights tolerate with less accuracy loss.
     qat: bool = False
+    # Knowledge distillation (Hinton soft targets; tpuseg.train.distill —
+    # no reference counterpart). distill_checkpoint: frozen-teacher weights
+    # (Orbax dir or torch .pth); its forward fuses INTO the jitted step.
+    # distill_model/base_filters/width_mult: teacher architecture; each
+    # defaults (""/0/0.0) to the student's own setting; num_classes always
+    # matches the student's.
+    # loss = (1-alpha)*base_loss + alpha*T^2*KL(teacher||student).
+    distill_checkpoint: str = ""
+    distill_model: str = ""
+    distill_base_filters: int = 0
+    distill_width_mult: float = 0.0
+    distill_alpha: float = 0.5
+    distill_temperature: float = 2.0
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 5
     save_every_epochs: int = 1           # reference saves every epoch (train.py:77)

@@ -100,6 +100,7 @@ def make_train_step(
     loss_fn: Optional[Callable] = None,
     ema_decay: float = 0.0,
     extra_collections: Optional[dict] = None,
+    teacher_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted (state, images, labels) -> (state, metrics) step.
 
@@ -121,11 +122,16 @@ def make_train_step(
     step instead of two — each dispatch through this host's remote-TPU
     tunnel costs ~50-100 ms of latency, which dominated end-to-end training
     (43 imgs/s measured vs 1178 device-only; BASELINE.md).
+
+    ``teacher_fn`` (images) -> stop_gradient'd teacher logits (knowledge
+    distillation, tpuseg.train.distill): the frozen-teacher forward runs
+    inside the same program and ``loss_fn`` is called as
+    (logits, labels, teacher_logits).
     """
     step = _step_body(
         remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
         compute_loss=loss_fn, ema_decay=ema_decay,
-        extra_collections=extra_collections,
+        extra_collections=extra_collections, teacher_fn=teacher_fn,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -173,17 +179,19 @@ def _step_body(
     compute_loss: Optional[Callable] = None,
     ema_decay: float = 0.0,
     extra_collections: Optional[dict] = None,
+    teacher_fn: Optional[Callable] = None,
 ) -> Callable:
     """The un-jitted single-step body shared by the step factories.
 
     ``compute_loss``: (logits [B,H,W,C], labels [B,H,W]) -> scalar; defaults
     to the reference's plain CE (tpuseg.train.loss.make_loss_fn for the
-    weighted/focal/dice options).
+    weighted/focal/dice options). With ``teacher_fn`` set (distillation)
+    it is called as (logits, labels, teacher_logits) instead.
     """
     if compute_loss is None:
         compute_loss = cross_entropy_loss
 
-    def loss_fn(params, state: TrainState, images, labels):
+    def loss_fn(params, state: TrainState, images, labels, teacher_logits):
         def fwd(variables, images):
             # non-array kwargs stay OUT of the remat boundary:
             # jax.checkpoint requires every traced argument to be a JAX type
@@ -197,13 +205,19 @@ def _step_body(
         if extra_collections:
             variables.update(extra_collections)
         outputs, new_model_state = fwd(variables, images)
-        loss = compute_loss(outputs, labels)
+        if teacher_logits is None:
+            loss = compute_loss(outputs, labels)
+        else:
+            loss = compute_loss(outputs, labels, teacher_logits)
         return loss, new_model_state["batch_stats"]
 
     def train_step(state: TrainState, images, labels):
+        # frozen-teacher forward OUTSIDE value_and_grad: it is constant
+        # w.r.t. the student params, so no backward graph is built for it
+        teacher_logits = teacher_fn(images) if teacher_fn is not None else None
         (loss, new_batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state, images, labels)
+        )(state.params, state, images, labels, teacher_logits)
         state = state.apply_gradients(grads=grads, batch_stats=new_batch_stats)
         if ema_decay > 0.0:
             # plain tree-map: two fused HBM streams over the param bytes,
@@ -238,6 +252,7 @@ def make_train_multi_step(
     loss_fn: Optional[Callable] = None,
     ema_decay: float = 0.0,
     extra_collections: Optional[dict] = None,
+    teacher_fn: Optional[Callable] = None,
 ) -> Callable:
     """K train steps per dispatch via ``lax.scan`` — ONE compiled program,
     ONE host->device round trip, per K optimizer updates.
@@ -258,7 +273,7 @@ def make_train_multi_step(
     body = _step_body(
         remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
         compute_loss=loss_fn, ema_decay=ema_decay,
-        extra_collections=extra_collections,
+        extra_collections=extra_collections, teacher_fn=teacher_fn,
     )
 
     def multi_step(state: TrainState, images, masks, keys):

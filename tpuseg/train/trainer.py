@@ -153,6 +153,9 @@ class Trainer:
             from tpuseg.ops.fake_quant import build_qat_markers
 
             extra_collections = {"qat": build_qat_markers(self.state.params)}
+        teacher_fn = None
+        if cfg.train.distill_checkpoint:
+            loss_fn, teacher_fn = self._build_distillation(loss_fn)
         if self.steps_per_dispatch > 1:
             from tpuseg.train.train_step import make_train_multi_step
 
@@ -165,6 +168,7 @@ class Trainer:
                 loss_fn=loss_fn,
                 ema_decay=cfg.train.ema_decay,
                 extra_collections=extra_collections,
+                teacher_fn=teacher_fn,
             )
         else:
             self.train_step = make_train_step(
@@ -175,6 +179,7 @@ class Trainer:
                 loss_fn=loss_fn,
                 ema_decay=cfg.train.ema_decay,
                 extra_collections=extra_collections,
+                teacher_fn=teacher_fn,
             )
         # normalization + label cast run INSIDE the jitted eval step (eager
         # per-batch ops each cost a remote-tunnel dispatch — CLAUDE.md)
@@ -318,6 +323,87 @@ class Trainer:
             focal_gamma=cfg.focal_gamma,
             dice_weight=cfg.dice_weight,
             ignore_index=cfg.ignore_index if cfg.ignore_index >= 0 else None,
+        )
+
+    def _build_distillation(self, loss_fn):
+        """Build the frozen teacher + combined loss (--train.distill_*).
+
+        Returns (distill_loss, teacher_fn) for the step factories: the
+        teacher forward fuses INTO the jitted step (an eager teacher pass
+        would cost a second remote-tunnel dispatch per step), and its
+        variables ship to the device in ONE packed transfer up front —
+        leaving them host-side would make jit transfer the ~hundreds of
+        closure-constant leaves one RPC each (CLAUDE.md device-IO rule).
+        """
+        import dataclasses
+
+        from tpuseg.core.device_io import device_put_packed
+        from tpuseg.infer.predictor import load_variables
+        from tpuseg.train.distill import make_distill_loss, make_teacher_fn
+        from tpuseg.train.loss import cross_entropy_loss
+
+        cfg = self.cfg.train
+        t_cfg = dataclasses.replace(
+            self.cfg.model,
+            name=cfg.distill_model or self.cfg.model.name,
+            base_filters=(
+                cfg.distill_base_filters or self.cfg.model.base_filters
+            ),
+            width_mult=cfg.distill_width_mult or self.cfg.model.width_mult,
+        )
+        teacher = build_model(t_cfg)
+        variables = load_variables(
+            cfg.distill_checkpoint, t_cfg.name, lambda: None
+        )
+        variables = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+        # fail at build time, not at first step: a wrong distill_model /
+        # base_filters mismatch dies inside apply with an opaque scope error
+        try:
+            shapes = jax.eval_shape(
+                lambda v: teacher.apply(
+                    v,
+                    jnp.zeros(
+                        (1, self.cfg.data.height, self.cfg.data.width, 3)
+                    ),
+                    train=False,
+                ),
+                variables,
+            )
+        except Exception as e:
+            raise ValueError(
+                f"distill_checkpoint {cfg.distill_checkpoint!r} does not "
+                f"match teacher model {t_cfg.name!r} (base_filters="
+                f"{cfg.distill_base_filters}, width_mult="
+                f"{cfg.distill_width_mult}): {e}"
+            ) from e
+        if shapes.shape[-1] != self.cfg.model.num_classes:
+            raise ValueError(
+                f"teacher predicts {shapes.shape[-1]} classes; student has "
+                f"{self.cfg.model.num_classes}"
+            )
+        if self.mesh is not None:
+            from tpuseg.core.mesh import replicated_sharding
+
+            variables = device_put_packed(
+                variables, sharding=replicated_sharding(self.mesh)
+            )
+        else:
+            variables = device_put_packed(variables)
+        log.info(
+            "distillation: teacher=%s from %s, alpha=%.2f, T=%.1f",
+            t_cfg.name, cfg.distill_checkpoint, cfg.distill_alpha,
+            cfg.distill_temperature,
+        )
+        return (
+            make_distill_loss(
+                loss_fn or cross_entropy_loss,
+                cfg.distill_alpha,
+                cfg.distill_temperature,
+            ),
+            make_teacher_fn(teacher, variables),
         )
 
     def _load_init_checkpoint(self, path: str) -> None:
