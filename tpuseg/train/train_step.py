@@ -314,6 +314,7 @@ def make_eval_step(
     num_classes: int,
     mesh: Optional[Mesh] = None,
     normalize: Optional[Tuple] = None,
+    tta: str = "",
 ) -> Callable:
     """Jitted eval: (state, images, labels, n_valid) -> metrics dict.
 
@@ -326,7 +327,15 @@ def make_eval_step(
     images and labels and normalizes/casts INSIDE the jitted program. Eager
     per-batch normalize/astype outside jit costs a remote-tunnel round trip
     per op (~50-100 ms each — CLAUDE.md); fused, it is one dispatch total.
+
+    ``tta``: "" (off) or "flip" — horizontal-flip test-time augmentation:
+    logits = mean(f(x), unflip(f(flip_W(x)))), both forwards in the same
+    program (2x eval FLOPs; flips are lax.rev, not gathers). Only valid
+    when class semantics are left/right symmetric (true for this task's
+    road classes).
     """
+    if tta not in ("", "flip"):
+        raise ValueError(f"unknown tta mode {tta!r} (expected '' or 'flip')")
 
     def eval_step(state: TrainState, images, labels, n_valid):
         if normalize is not None:
@@ -334,11 +343,19 @@ def make_eval_step(
 
             images = normalize_images(images, normalize[0], normalize[1])
             labels = labels.astype(jnp.int32)
-        logits = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            images,
-            train=False,
-        )
+
+        def fwd(x):
+            return state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x,
+                train=False,
+            )
+
+        logits = fwd(images)
+        if tta == "flip":
+            logits = 0.5 * (
+                logits + jnp.flip(fwd(jnp.flip(images, axis=2)), axis=2)
+            )
         b = images.shape[0]
         valid = (jnp.arange(b) < n_valid).astype(jnp.float32)  # [B]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
