@@ -48,7 +48,6 @@ def test_dilated_conv_matches_zero_interleaved_kernel():
 
     k = v["params"]["conv"]["kernel"]  # (3, 3, 8, 4)
     k5 = jnp.zeros((5, 5, 8, 4)).at[::2, ::2].set(k)
-    v5 = jax.tree.map(lambda a: a, v)
     v5 = {
         "params": {
             "conv": {"kernel": k5, "bias": v["params"]["conv"]["bias"]},

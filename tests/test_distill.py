@@ -72,6 +72,42 @@ def test_distill_loss_mixes_base_and_kd():
     )
 
 
+def test_distill_loss_ignore_index_masks_kd_term():
+    """ignore_index pixels are excluded from the KD mean too — the teacher
+    was never supervised there. Verified against an explicit numpy mask."""
+    from tpuseg.train.loss import cross_entropy_loss
+
+    rng = np.random.default_rng(4)
+    s = rng.normal(size=(2, 4, 4, 5)).astype(np.float32)
+    t = rng.normal(size=(2, 4, 4, 5)).astype(np.float32)
+    y = rng.integers(0, 5, size=(2, 4, 4)).astype(np.int32)
+    y[0, :2] = 255  # ignored region
+    temp = 2.0
+
+    def logsoftmax(x):
+        x = x - x.max(-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+    kl = (np.exp(logsoftmax(t / temp))
+          * (logsoftmax(t / temp) - logsoftmax(s / temp))).sum(-1)
+    valid = (y != 255)
+    want_kd = kl[valid].mean() * temp * temp
+
+    pure = make_distill_loss(
+        cross_entropy_loss, 1.0, temp, ignore_index=255
+    )
+    np.testing.assert_allclose(
+        float(pure(jnp.asarray(s), jnp.asarray(y), jnp.asarray(t))),
+        want_kd, rtol=1e-5,
+    )
+    # alpha outside (0, 1] is a build-time error (alpha=0 is handled by the
+    # Trainer skipping distillation entirely)
+    with pytest.raises(ValueError, match="alpha"):
+        make_distill_loss(cross_entropy_loss, 0.0, temp)
+    with pytest.raises(ValueError, match="alpha"):
+        make_distill_loss(cross_entropy_loss, 1.5, temp)
+
+
 def _train_argv(tmp_path, name, extra=()):
     return [
         "--model.name=unet", "--model.base_filters=4",

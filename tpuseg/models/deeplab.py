@@ -15,7 +15,12 @@ TPU-first properties:
   noise; the dilated 3x3s are ordinary MXU convs (XLA rhs_dilation).
 - Atrous rates default to (2, 4, 6) — the paper's (6, 12, 18) is calibrated
   for output-stride 16 at a ~33px grid; at our OS=32 grids (16x16 @512,
-  8x4 @256x128) those taps would land almost entirely in padding.
+  8x4 @256x128) those taps would land almost entirely in padding. The same
+  caveat recurses one size down: at 256x128 the c5 grid is 8x4, so the
+  rate-4/6 branches themselves degrade toward (BN'd, ReLU'd) 1x1s — they
+  still carry capacity (the measured 0.9444 protocol mIoU INCLUDES this
+  regime) but their context radius is clipped; tune ``aspp_rates`` to the
+  deployment grid for maximum effect.
 - All upsamples are powers of 2 and ride the exact-phase cascaded 2x lerps
   (ops.resize.upsample2x_bilinear) — the gather-free formulation the
   decoder postmortem proved out (DESIGN §9, §29).
@@ -41,15 +46,7 @@ import jax.numpy as jnp
 
 from tpuseg.models.blocks import ConvBNAct
 from tpuseg.models.mobilenetv2 import MobileNetV2Encoder
-from tpuseg.ops.resize import upsample2x_bilinear
-
-
-def _up_pow2_bilinear(x: jnp.ndarray, times: int) -> jnp.ndarray:
-    """2^times bilinear upsample as cascaded exact-phase 2x lerps (the
-    family definition of Nx bilinear — see fpn._up_pow2_bilinear)."""
-    for _ in range(times):
-        x = upsample2x_bilinear(x, align_corners=False)
-    return x
+from tpuseg.ops.resize import up_pow2_bilinear as _up_pow2_bilinear
 
 
 class ASPP(nn.Module):

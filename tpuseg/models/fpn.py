@@ -31,7 +31,11 @@ import jax.numpy as jnp
 
 from tpuseg.models.blocks import ConvBNAct
 from tpuseg.models.mobilenetv2 import MobileNetV2Encoder
-from tpuseg.ops.resize import upsample2x_bilinear
+# Every upsample in this family is a power of 2, so it rides the cascaded
+# exact-phase 2x lerps (the gather formulation measured 696.2 fps -> this
+# measured 2531.6 @512x512 d=128, 3.6x — past the flagship's 2411;
+# DESIGN §29). Shared with the DeepLab family.
+from tpuseg.ops.resize import up_pow2_bilinear as _up_pow2_bilinear
 
 
 def _up2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
@@ -39,24 +43,6 @@ def _up2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     XLA — no gather). resize_nearest (ops.resize) is the class-map/packed-
     overlay variant; its channel heuristic does not apply to feature maps."""
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-
-
-def _up_pow2_bilinear(x: jnp.ndarray, times: int) -> jnp.ndarray:
-    """2^times bilinear upsample as CASCADED exact 2x phase-lerps.
-
-    Every upsample in this family is a power of 2, so it rides the
-    fixed-phase shift+lerp formulation (ops.resize.upsample2x_bilinear) the
-    decoder postmortem proved out — the gather formulation (resize_bilinear)
-    measured 4.3x slower end-to-end and caused the round-1 headline
-    regression (DESIGN §9). Cascaded 2x is this family's DEFINITION of Nx
-    bilinear (it differs from direct Nx in the tails by design; no reference
-    parity applies). Measured on this family @512x512 batch 256 bf16 d=128:
-    696.2 -> 2531.6 fps (3.6x) switching the head + final resizes from
-    gathers to this — past the flagship UNet decoder's 2411; d=64 measures
-    3474.0 (bench_history.json, 2026-08-19)."""
-    for _ in range(times):
-        x = upsample2x_bilinear(x, align_corners=False)
-    return x
 
 
 class MobileNetV2FPN(nn.Module):

@@ -192,6 +192,20 @@ def upsample2x_bilinear(
     )
 
 
+def up_pow2_bilinear(x: jnp.ndarray, times: int) -> jnp.ndarray:
+    """2^times bilinear upsample as CASCADED exact-phase 2x lerps.
+
+    The decoder-postmortem-proven formulation for power-of-2 model-graph
+    upsamples (the gather formulation measured 4.3x slower end-to-end,
+    DESIGN §9; switching the FPN family to this gave 3.6x, DESIGN §29).
+    The cascade IS the FPN/DeepLab families' definition of Nx bilinear —
+    it differs from direct Nx in the tails by design (no torch parity
+    applies to those families). align_corners=False at every stage."""
+    for _ in range(times):
+        x = upsample2x_bilinear(x, align_corners=False)
+    return x
+
+
 def _phase2_ac_true(x: jnp.ndarray, axis: int):
     """Even/odd output phases of the exact align_corners=True 2x upsample.
 

@@ -62,13 +62,36 @@ def kd_kl_loss(
 
 
 def make_distill_loss(
-    base_loss: Callable, alpha: float, temperature: float
+    base_loss: Callable,
+    alpha: float,
+    temperature: float,
+    ignore_index: int = -1,
 ) -> Callable:
-    """(student_logits, labels, teacher_logits) -> scalar combined loss."""
+    """(student_logits, labels, teacher_logits) -> scalar combined loss.
+
+    ``ignore_index`` >= 0 excludes those label pixels from the KD mean too
+    (the base CE already excludes them — torch parity): the teacher was
+    never supervised there, so its soft targets are unconstrained noise.
+    """
     a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"distill alpha must be in (0, 1], got {a}")
 
     def loss(logits, labels, teacher_logits):
-        kd = kd_kl_loss(logits, teacher_logits, temperature)
+        if ignore_index >= 0:
+            dtype = jnp.promote_types(logits.dtype, jnp.float32)
+            t = float(temperature)
+            slp = jax.nn.log_softmax(logits.astype(dtype) / t, axis=-1)
+            tlp = jax.nn.log_softmax(
+                teacher_logits.astype(dtype) / t, axis=-1
+            )
+            kl = jnp.sum(jnp.exp(tlp) * (tlp - slp), axis=-1)  # [B,H,W]
+            valid = (labels != ignore_index).astype(dtype)
+            kd = (
+                jnp.sum(kl * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+            ) * (t * t)
+        else:
+            kd = kd_kl_loss(logits, teacher_logits, temperature)
         if a >= 1.0:
             return kd  # pure soft targets; skip the dead CE computation
         return (1.0 - a) * base_loss(logits, labels) + a * kd

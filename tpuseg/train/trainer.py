@@ -155,7 +155,16 @@ class Trainer:
             extra_collections = {"qat": build_qat_markers(self.state.params)}
         teacher_fn = None
         if cfg.train.distill_checkpoint:
-            loss_fn, teacher_fn = self._build_distillation(loss_fn)
+            if cfg.train.distill_alpha <= 0.0:
+                # A/B convenience: alpha=0 means KD off — skip building the
+                # teacher entirely (a 0-weighted teacher forward would still
+                # run every step; XLA does not DCE through the 0-multiply)
+                log.warning(
+                    "distill_alpha=0 — ignoring distill_checkpoint %r",
+                    cfg.train.distill_checkpoint,
+                )
+            else:
+                loss_fn, teacher_fn = self._build_distillation(loss_fn)
         if self.steps_per_dispatch > 1:
             from tpuseg.train.train_step import make_train_multi_step
 
@@ -350,11 +359,23 @@ class Trainer:
                 cfg.distill_base_filters or self.cfg.model.base_filters
             ),
             width_mult=cfg.distill_width_mult or self.cfg.model.width_mult,
+            # the Pallas fused-upconcat path is eval-only AND single-chip;
+            # the teacher runs train=False INSIDE the (possibly sharded)
+            # train program, which would pull that kernel into it
+            use_pallas=False,
         )
         teacher = build_model(t_cfg)
         variables = load_variables(
             cfg.distill_checkpoint, t_cfg.name, lambda: None
         )
+        if "quant" in variables:
+            # same convention as eval_miou/eval_quantized: a calibrated
+            # int8 artifact must not silently distill from its fp32 tree
+            raise ValueError(
+                f"distill_checkpoint {cfg.distill_checkpoint!r} carries a "
+                "calibrated int8 'quant' collection — distill from the "
+                "fp32 training checkpoint instead"
+            )
         variables = {
             "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),
@@ -402,6 +423,7 @@ class Trainer:
                 loss_fn or cross_entropy_loss,
                 cfg.distill_alpha,
                 cfg.distill_temperature,
+                ignore_index=cfg.ignore_index,
             ),
             make_teacher_fn(teacher, variables),
         )
