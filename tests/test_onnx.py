@@ -150,6 +150,42 @@ def test_light_unet_onnx_roundtrip():
     _roundtrip(LightUNet(base_filters=4), 32, 32)
 
 
+def test_fpn_onnx_roundtrip():
+    from tpuseg.models.fpn import MobileNetV2FPN
+
+    data = _roundtrip(
+        MobileNetV2FPN(output_channels=10, fpn_channels=16, width_mult=0.25),
+        32, 64, batch=1,
+    )
+    # the top-down pathway must ride nearest (asymmetric/floor == repeat)
+    g = op.parse_model(data)["graph"]
+    modes = [
+        n["attrs"].get("mode") for n in g["nodes"]
+        if n["op_type"] == "Resize"
+    ]
+    assert "nearest" in modes and "linear" in modes
+
+
+def test_deeplab_onnx_roundtrip():
+    from tpuseg.models.deeplab import MobileNetV2DeepLab
+
+    data = _roundtrip(
+        MobileNetV2DeepLab(
+            output_channels=10, aspp_channels=16, width_mult=0.25
+        ),
+        32, 64, batch=2,
+    )
+    g = op.parse_model(data)["graph"]
+    ops = {n["op_type"] for n in g["nodes"]}
+    assert "GlobalAveragePool" in ops
+    # the dilated ASPP branches keep their atrous geometry on the wire
+    dil = sorted(
+        n["attrs"]["dilations"] for n in g["nodes"]
+        if n["op_type"] == "Conv" and n["attrs"]["dilations"] != [1, 1]
+    )
+    assert dil == [[2, 2], [4, 4], [6, 6]]
+
+
 def test_mobilenetv2_unet_onnx_roundtrip():
     data = _roundtrip(
         MobileNetV2UNet(output_channels=10), 32, 64, batch=1

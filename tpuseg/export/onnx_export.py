@@ -13,8 +13,12 @@ every model in the registry has a fixed, known topology, and the torch-parity
 suite pins that topology to the reference, so the walk emits exactly the ops
 the reference's torch.onnx trace would:
 
-    Conv / BatchNormalization / Relu / Clip(0,6) / Add / Concat /
-    MaxPool / Resize(linear, pytorch_half_pixel | align_corners)
+    Conv(incl. dilated) / BatchNormalization / Relu / Clip(0,6) / Add /
+    Concat / MaxPool / GlobalAveragePool /
+    Resize(linear, pytorch_half_pixel | align_corners; nearest, asymmetric)
+
+All five registry families export: the UNet trio plus FPN and DeepLabV3+
+(nearest-2x top-down adds, dilated ASPP, image-pooling broadcast).
 
 Layout: ONNX convention is NCHW; Flax kernels (kh, kw, cin/g, cout) are
 transposed to OIHW. BatchNorm is exported as-is (running stats, eps 1e-5) so
@@ -65,6 +69,7 @@ class GraphBuilder:
         strides: Sequence[int] = (1, 1),
         pads: Sequence[int] = (0, 0, 0, 0),
         group: int = 1,
+        dilations: Sequence[int] = (1, 1),
     ) -> str:
         """kernel is Flax HWIO (kh, kw, cin/group, cout) -> OIHW."""
         w = np.ascontiguousarray(
@@ -84,7 +89,7 @@ class GraphBuilder:
                 inputs,
                 [out],
                 name=scope,
-                dilations=[1, 1],
+                dilations=[int(d) for d in dilations],
                 group=int(group),
                 kernel_shape=[int(w.shape[2]), int(w.shape[3])],
                 pads=[int(p) for p in pads],
@@ -180,6 +185,33 @@ class GraphBuilder:
         )
         return out
 
+    def resize_nearest(self, x: str, sh: float, sw: float) -> str:
+        """Nearest resize by (sh, sw) — asymmetric + floor == jnp.repeat
+        for integer 2x (FPN top-down), and a pure spatial broadcast when the
+        input is 1x1 (the ASPP image-pooling branch)."""
+        name = f"nearest_scales_{sh:g}x{sw:g}"
+        if name not in self._init_names:
+            self.add_initializer(
+                name, np.asarray([1.0, 1.0, sh, sw], np.float32)
+            )
+        out = self._fresh("resize_nearest")
+        self.nodes.append(
+            op.node_proto(
+                "Resize",
+                [x, "", name],
+                [out],
+                coordinate_transformation_mode="asymmetric",
+                mode="nearest",
+                nearest_mode="floor",
+            )
+        )
+        return out
+
+    def global_avg_pool(self, x: str) -> str:
+        out = self._fresh("gap")
+        self.nodes.append(op.node_proto("GlobalAveragePool", [x], [out]))
+        return out
+
     # ---- composite emitters over the Flax param tree ----------------------
 
     def conv_bn_act(
@@ -192,6 +224,7 @@ class GraphBuilder:
         strides: Sequence[int] = (1, 1),
         pads: Sequence[int] = (1, 1, 1, 1),
         group: int = 1,
+        dilations: Sequence[int] = (1, 1),
     ) -> str:
         """One ConvBNAct module (tpuseg/models/blocks.py ConvBNAct)."""
         conv = params["conv"]
@@ -203,6 +236,7 @@ class GraphBuilder:
             strides=strides,
             pads=pads,
             group=group,
+            dilations=dilations,
         )
         x = self.batch_norm(x, f"{scope}.bn", params["bn"], stats["bn"])
         if act == "relu":
@@ -334,6 +368,100 @@ def _emit_unet(g: GraphBuilder, x: str, variables) -> str:
     return g.out_conv(y, "sem_out", params["sem_out"], stats["sem_out"])
 
 
+def _emit_fpn(g: GraphBuilder, x: str, variables, model) -> str:
+    """MobileNetV2FPN (tpuseg/models/fpn.py): lateral 1x1s, nearest-2x
+    top-down adds, per-level heads cascaded-2x'd to 1/4 and summed, 1x1
+    classifier, x4. Cascaded linear Resize(pytorch_half_pixel) IS the
+    family's definition of Nx bilinear (ops.resize.up_pow2_bilinear)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    _, c2, c3, c4, c5 = _emit_mobilenetv2_encoder(
+        g, x, params["backbone"], stats["backbone"],
+        width_mult=model.width_mult,
+    )
+
+    def lat(name, tap):
+        return g.conv_bn_act(
+            tap, name, params[name], stats[name], act=None, pads=(0, 0, 0, 0)
+        )
+
+    p5 = lat("lat5", c5)
+    p4 = g.add(lat("lat4", c4), g.resize_nearest(p5, 2.0, 2.0))
+    p3 = g.add(lat("lat3", c3), g.resize_nearest(p4, 2.0, 2.0))
+    p2 = g.add(lat("lat2", c2), g.resize_nearest(p3, 2.0, 2.0))
+    levels = []
+    for steps, (name, p) in enumerate(
+        (("smooth2", p2), ("smooth3", p3), ("smooth4", p4), ("smooth5", p5))
+    ):
+        levels.append((steps, g.conv_bn_act(p, name, params[name], stats[name])))
+    y = None
+    for steps, (name, _) in enumerate(
+        (("head2", None), ("head3", None), ("head4", None), ("head5", None))
+    ):
+        h = g.conv_bn_act(levels[steps][1], name, params[name], stats[name])
+        for _ in range(steps):
+            h = g.resize2x(h, align_corners=False)
+        y = h if y is None else g.add(y, h)
+    cls = params["classifier"]
+    y = g.conv(
+        y, "classifier", cls["kernel"], cls.get("bias"), pads=(0, 0, 0, 0)
+    )
+    y = g.resize2x(y, align_corners=False)
+    return g.resize2x(y, align_corners=False)
+
+
+def _emit_deeplab(g: GraphBuilder, x: str, variables, model, height, width) -> str:
+    """MobileNetV2DeepLab (tpuseg/models/deeplab.py): ASPP at 1/32 (1x1 +
+    dilated 3x3s + image pooling broadcast), x8 cascaded-2x, one low-level
+    1/4 skip, two refines, classifier, x4."""
+    params, stats = variables["params"], variables["batch_stats"]
+    _, c2, _, _, c5 = _emit_mobilenetv2_encoder(
+        g, x, params["backbone"], stats["backbone"],
+        width_mult=model.width_mult,
+    )
+    ap, ast = params["aspp"], stats["aspp"]
+    branches = [
+        g.conv_bn_act(
+            c5, "aspp.conv1x1", ap["aspp_conv1x1"], ast["aspp_conv1x1"],
+            pads=(0, 0, 0, 0),
+        )
+    ]
+    for r in model.aspp_rates:
+        branches.append(
+            g.conv_bn_act(
+                c5, f"aspp.rate{r}", ap[f"aspp_rate{r}"], ast[f"aspp_rate{r}"],
+                pads=(r, r, r, r), dilations=(r, r),
+            )
+        )
+    pooled = g.global_avg_pool(c5)
+    pooled = g.conv_bn_act(
+        pooled, "aspp.pool", ap["aspp_pool"], ast["aspp_pool"],
+        pads=(0, 0, 0, 0),
+    )
+    # broadcast the 1x1 pooled branch back to the c5 grid
+    branches.append(
+        g.resize_nearest(pooled, float(height // 32), float(width // 32))
+    )
+    y = g.concat(branches)
+    y = g.conv_bn_act(
+        y, "aspp.project", ap["project"], ast["project"], pads=(0, 0, 0, 0)
+    )
+    for _ in range(3):  # 1/32 -> 1/4
+        y = g.resize2x(y, align_corners=False)
+    low = g.conv_bn_act(
+        c2, "low_project", params["low_project"], stats["low_project"],
+        pads=(0, 0, 0, 0),
+    )
+    y = g.concat([low, y])
+    y = g.conv_bn_act(y, "refine1", params["refine1"], stats["refine1"])
+    y = g.conv_bn_act(y, "refine2", params["refine2"], stats["refine2"])
+    cls = params["classifier"]
+    y = g.conv(
+        y, "classifier", cls["kernel"], cls.get("bias"), pads=(0, 0, 0, 0)
+    )
+    y = g.resize2x(y, align_corners=False)
+    return g.resize2x(y, align_corners=False)
+
+
 def export_onnx(
     model,
     variables: Dict[str, Any],
@@ -349,6 +477,8 @@ def export_onnx(
     is NCHW ``[batch, 3, height, width]`` float32 named "input" and the
     output is logits named "output", matching the reference contract.
     """
+    from tpuseg.models.deeplab import MobileNetV2DeepLab
+    from tpuseg.models.fpn import MobileNetV2FPN
     from tpuseg.models.mobilenetv2_unet import MobileNetV2UNet
     from tpuseg.models.unet import LightUNet, UNet
 
@@ -361,6 +491,12 @@ def export_onnx(
         scale = 1 if model.upsample_head else 2
         out_h, out_w = height // scale, width // scale
         classes = model.output_channels
+    elif isinstance(model, MobileNetV2FPN):
+        out = _emit_fpn(g, "input", variables, model)
+        out_h, out_w, classes = height, width, model.output_channels
+    elif isinstance(model, MobileNetV2DeepLab):
+        out = _emit_deeplab(g, "input", variables, model, height, width)
+        out_h, out_w, classes = height, width, model.output_channels
     elif isinstance(model, LightUNet):
         inner = {
             "params": variables["params"]["unet"],

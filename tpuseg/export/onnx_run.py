@@ -5,8 +5,9 @@ export validation (the analogue of the reference's onnx.checker call,
 reference convert.py:47-55) parses the serialized protobuf back
 (tpuseg.export.onnx_proto.parse_model) and executes the graph with this
 minimal interpreter. It implements exactly the op set the exporter emits —
-Conv / BatchNormalization / Relu / Clip / Add / Concat / MaxPool / Resize /
-Identity — from the ONNX operator spec (opset 12), independently of the
+Conv / BatchNormalization / Relu / Clip / Add / Concat / MaxPool /
+GlobalAveragePool / Resize (linear + nearest) / Identity — from the ONNX
+operator spec (opset 12), independently of the
 Flax modules, so agreement with ``model.apply`` validates both the wire
 encoding and the emitted graph topology/weights.
 
@@ -89,13 +90,28 @@ def _linear_coords(out_size: int, in_size: int, scale: float, mode: str):
 
 
 def _resize(x, scales, attrs):
-    if attrs.get("mode", "nearest") != "linear":
-        raise NotImplementedError("only mode=linear Resize is emitted")
     if not (scales[0] == scales[1] == 1.0):
         raise NotImplementedError("batch/channel Resize scales must be 1")
     coord = attrs.get("coordinate_transformation_mode", "half_pixel")
     n, c, h, w = x.shape
     oh, ow = int(round(h * scales[2])), int(round(w * scales[3]))
+    mode = attrs.get("mode", "nearest")
+    if mode == "nearest":
+        # the exporter emits asymmetric+floor only (== jnp.repeat for
+        # integer upscales; == broadcast from a 1x1 input)
+        if coord != "asymmetric" or attrs.get("nearest_mode") != "floor":
+            raise NotImplementedError(
+                "only asymmetric/floor nearest Resize is emitted"
+            )
+        r = np.clip(
+            np.floor(np.arange(oh) / scales[2]), 0, h - 1
+        ).astype(np.int64)
+        cc = np.clip(
+            np.floor(np.arange(ow) / scales[3]), 0, w - 1
+        ).astype(np.int64)
+        return x[:, :, r, :][:, :, :, cc]
+    if mode != "linear":
+        raise NotImplementedError(f"Resize mode {mode!r}")
     # separable bilinear: rows then columns
     r0, r1, rf = _linear_coords(oh, h, scales[2], coord)
     rf = rf.reshape(1, 1, -1, 1)
@@ -140,6 +156,8 @@ def run_model(
             out = np.concatenate(ins, axis=attrs["axis"])
         elif op_type == "MaxPool":
             out = _max_pool(ins[0], attrs)
+        elif op_type == "GlobalAveragePool":
+            out = ins[0].mean(axis=(2, 3), keepdims=True).astype(np.float32)
         elif op_type == "Resize":
             out = _resize(ins[0], np.asarray(ins[2], np.float64), attrs)
         elif op_type == "Identity":
