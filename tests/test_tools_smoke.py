@@ -178,3 +178,49 @@ def test_model_bench_smoke(monkeypatch, capsys, tmp_path):
     assert rec["config"]["model"] == "unet"
     # cpu smoke runs never append to the bench history
     assert not (tmp_path / "hist.json").exists()
+
+
+def test_class_stats_tool(monkeypatch, capsys, tmp_path):
+    """class_stats on a known on-disk dataset: counts match a direct
+    numpy pass, weights follow the median-frequency formula, and the
+    printed flag string parses back as valid --train.class_weights."""
+    out = tmp_path / "cs_data"
+    rc = _run_tool(
+        "export_synthetic_dataset",
+        ["--out", str(out), "--num", "4", "--seed", "3"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = _run_tool(
+        "class_stats", ["--data_dir", str(out)], monkeypatch, tmp_path
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["images"] == 4
+
+    import numpy as np
+
+    from tpuseg.data.sources import BDD100KSource
+
+    src = BDD100KSource(str(out / "images"), str(out / "masks"), 256, 128)
+    want = np.zeros(10, np.int64)
+    for i in range(4):
+        _, mask = src.load(i)
+        want += np.bincount(mask.ravel().astype(np.int64), minlength=10)[:10]
+    assert rec["pixel_counts"] == [int(c) for c in want]
+    assert sum(rec["pixel_counts"]) == 4 * 256 * 128
+
+    freq = want / want.sum()
+    present = want > 0
+    med = np.median(freq[present])
+    got_w = np.asarray(rec["class_weights"])
+    np.testing.assert_allclose(got_w[present], med / freq[present], rtol=1e-3)
+    assert (got_w[~present] == 0).all()
+
+    # the suggested flag round-trips through the config system
+    from tpuseg.configs import load_config
+
+    cfg = load_config([rec["flag"]])
+    assert len(cfg.train.class_weights) == 10
