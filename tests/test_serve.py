@@ -45,6 +45,8 @@ def server():
     ns.normalize_std = ""
     ns.host = "127.0.0.1"
     ns.port = 0  # ephemeral
+    ns.max_batch = 1
+    ns.batch_wait_ms = 5.0
     httpd, state = serve.make_server(ns)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
@@ -147,3 +149,77 @@ def test_any_upload_size_single_program(server):
         with _post(base + "/predict", png) as r:
             assert r.status == 200
     assert len(state.predictor._jitted) == n_before == 1
+
+
+@pytest.fixture(scope="module")
+def batched_server():
+    import cv2  # noqa: F401
+
+    serve = _load_serve()
+    ns = type("A", (), {})()
+    ns.checkpoint = ""
+    ns.artifact = ""
+    ns.model = "unet"
+    ns.num_classes = 10
+    ns.base_filters = 4
+    ns.width = 64
+    ns.height = 32
+    ns.bf16_head = False
+    ns.normalize_mean = ""
+    ns.normalize_std = ""
+    ns.host = "127.0.0.1"
+    ns.port = 0
+    ns.max_batch = 4
+    ns.batch_wait_ms = 200.0  # wide window so concurrent posts coalesce
+    httpd, state = serve.make_server(ns)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    host, port = httpd.server_address[:2]
+    yield f"http://{host}:{port}", state
+    httpd.shutdown()
+    httpd.server_close()
+    thread.join(timeout=10)
+
+
+def test_batched_requests_coalesce_and_match_direct(batched_server):
+    """Concurrent posts of DIFFERENT upload sizes coalesce into shared
+    dispatches and every mask equals the direct batch-1 Predictor result."""
+    import cv2
+
+    base, state = batched_server
+    frames = [_png_frame(seed=10 + i, h=40 + 8 * i, w=64 + 16 * i)
+              for i in range(4)]
+    results = [None] * 4
+
+    def post(i):
+        with _post(base + "/predict", frames[i][1]) as r:
+            results[i] = cv2.imdecode(
+                np.frombuffer(r.read(), np.uint8), cv2.IMREAD_UNCHANGED
+            )
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+
+    for i, (frame_bgr, _) in enumerate(frames):
+        assert results[i] is not None
+        assert results[i].shape == frame_bgr.shape[:2]
+        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+        direct = state.predictor(rgb[None])[0]
+        np.testing.assert_array_equal(results[i], direct)
+
+    b = state.batcher
+    assert b is not None
+    # 4 requests inside a 200 ms window on this host must share dispatches
+    assert b.max_seen >= 2
+    assert b.dispatches < 4 + 1  # +1: the direct calls above don't count
+
+
+def test_batched_healthz_reports_batching(batched_server):
+    base, _ = batched_server
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        info = json.loads(r.read())
+    assert info["batching"]["max_batch"] == 4
+    assert info["batching"]["dispatches"] >= 1

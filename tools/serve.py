@@ -28,9 +28,16 @@ Endpoints:
                                reference's inference.py:48-146 semantics);
                                car count in the X-Cars response header
 
-Batch-1 request/response is the right shape for an interactive API; for
-bulk-throughput serving use inference.py's batched double-buffered pipeline
-(211-272 fps end-to-end on a v5e — BASELINE.md).
+Request batching (``--max_batch N --batch_wait_ms W``, off at the default
+N=1): concurrent requests coalesce into ONE device dispatch — a collator
+thread drains the queue for up to W ms, stacks the host-preprocessed
+inputs, pads to the next power-of-2 bucket (so only log2(N) programs ever
+compile), and fans the class maps back out. On this host every dispatch
+pays the ~50-100 ms tunnel round trip while the batch-8 forward itself is
+~2 ms (BASELINE.md batch-1 row) — batching k concurrent requests divides
+the dominant cost by k. Single requests still go straight through after W
+ms (one queue wait, no extra dispatch). For bulk throughput on a video
+file use inference.py's double-buffered pipeline (211-272 fps — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -38,6 +45,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import queue
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -84,12 +92,113 @@ class _State:
     """Shared across handler instances: the predictor, its lock (one chip,
     one program — requests serialize at the device), and counters."""
 
-    def __init__(self, predictor, model_name: str, num_classes: int):
+    def __init__(self, predictor, model_name: str, num_classes: int,
+                 batcher=None):
         self.predictor = predictor
         self.model_name = model_name
         self.num_classes = num_classes
         self.lock = threading.Lock()
         self.requests = 0
+        self.batcher = batcher
+
+    def infer_model_sized(self, x):
+        """One model-sized RGB frame [mh, mw, 3] -> class map [mh, mw]."""
+        if self.batcher is not None:
+            classes = self.batcher.submit(x)
+        else:
+            with self.lock:
+                classes = self.predictor(x[None])[0]
+        with self.lock:
+            self.requests += 1
+        return classes
+
+
+class _Batcher:
+    """Coalesces concurrent requests into one padded device dispatch.
+
+    ``submit`` blocks the calling handler thread until its class map is
+    ready. The collator waits up to ``wait_s`` after the first pending
+    request for co-travelers, stacks up to ``max_batch`` model-sized
+    frames, pads to the next power-of-2 bucket (so only log2 bucket
+    programs compile — each is warmed at server start), dispatches ONCE,
+    and fans results out. Tunnel math: every dispatch costs ~50-100 ms of
+    round trip vs ~2 ms of batch-8 forward, so k coalesced requests cut
+    per-request latency toward RTT/k + W.
+    """
+
+    def __init__(self, predictor, max_batch: int, wait_s: float):
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.wait_s = float(wait_s)
+        self.q: "queue.Queue" = queue.Queue()
+        self.dispatches = 0
+        self.max_seen = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def warm_up(self, input_hw):
+        """Compile every bucket program before the first client arrives."""
+        import numpy as np
+
+        h, w = input_hw
+        top = self._bucket(self.max_batch)
+        b = 1
+        while True:
+            self.predictor(np.zeros((b, h, w, 3), np.uint8))
+            if b >= top:
+                break
+            b *= 2
+
+    def submit(self, x):
+        done = threading.Event()
+        slot = {}
+        self.q.put((x, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["classes"]
+
+    def _loop(self):
+        import time
+
+        import numpy as np
+
+        while True:
+            first = self.q.get()
+            batch = [first]
+            deadline = time.monotonic() + self.wait_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            n = len(batch)
+            b = self._bucket(n)
+            frames = np.stack(
+                [item[0] for item in batch]
+                + [np.zeros_like(batch[0][0])] * (b - n)
+            )
+            try:
+                classes = self.predictor(frames)
+                for i, (_, done, slot) in enumerate(batch):
+                    slot["classes"] = classes[i]
+                    done.set()
+            except Exception as e:  # fan the failure out, keep serving
+                for _, done, slot in batch:
+                    slot["error"] = f"{type(e).__name__}: {e}"
+                    done.set()
+            self.dispatches += 1
+            self.max_seen = max(self.max_seen, n)
 
 
 def _make_handler(state: _State):
@@ -116,12 +225,20 @@ def _make_handler(state: _State):
             if urlparse(self.path).path != "/healthz":
                 return self._send_json(404, {"error": "unknown path"})
             h, w = state.predictor.input_hw
-            self._send_json(200, {
+            info = {
                 "status": "ok",
                 "model": state.model_name,
                 "input_hw": [h, w],
                 "requests": state.requests,
-            })
+            }
+            if state.batcher is not None:
+                info["batching"] = {
+                    "max_batch": state.batcher.max_batch,
+                    "wait_ms": state.batcher.wait_s * 1e3,
+                    "dispatches": state.batcher.dispatches,
+                    "max_seen_batch": state.batcher.max_seen,
+                }
+            self._send_json(200, info)
 
         def _read_image(self):
             length = int(self.headers.get("Content-Length", 0) or 0)
@@ -144,9 +261,25 @@ def _make_handler(state: _State):
                 )
             # model input is RGB (the reference's BGR2RGB, inference.py:33)
             rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
-            with state.lock:
-                classes = state.predictor(rgb[None])[0]
-                state.requests += 1
+            # model-size downscale HERE, on this handler thread (the same
+            # cv2 INTER_LINEAR the Predictor's preprocess_on_host runs,
+            # reference inference.py:28-46) — so batched requests of
+            # different upload sizes stack into one dispatch, and the host
+            # work parallelizes across request threads
+            mh, mw = state.predictor.input_hw
+            fh, fw = rgb.shape[:2]
+            if (fh, fw) != (mh, mw):
+                x = cv2.resize(rgb, (mw, mh), interpolation=cv2.INTER_LINEAR)
+            else:
+                x = rgb
+            try:
+                classes = state.infer_model_sized(x)
+            except RuntimeError as e:
+                return self._send_json(500, {"error": str(e)})
+            if classes.shape != (fh, fw):
+                from tpuseg.infer.predictor import upscale_nearest_host
+
+                classes = upscale_nearest_host(classes[None], fh, fw)[0]
             if url.path == "/predict":
                 fmt = parse_qs(url.query).get("format", ["png"])[0]
                 if fmt == "json":
@@ -183,10 +316,19 @@ def make_server(args):
     import numpy as np
 
     predictor = build_predictor(args)
-    # warm-up: compiles the one model-size program and proves the chain
-    warm = np.zeros((1, 64, 64, 3), np.uint8)
-    predictor(warm)
-    state = _State(predictor, args.model, args.num_classes)
+    batcher = None
+    max_batch = getattr(args, "max_batch", 1)
+    if max_batch > 1:
+        batcher = _Batcher(
+            predictor, max_batch,
+            getattr(args, "batch_wait_ms", 5.0) / 1e3,
+        )
+        # compile every bucket program up front
+        batcher.warm_up(predictor.input_hw)
+    else:
+        # warm-up: compiles the one model-size program and proves the chain
+        predictor(np.zeros((1, 64, 64, 3), np.uint8))
+    state = _State(predictor, args.model, args.num_classes, batcher=batcher)
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(state)
     )
@@ -207,6 +349,12 @@ def main(argv=None) -> int:
     p.add_argument("--normalize_std", default="")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8017)
+    p.add_argument("--max_batch", type=int, default=1,
+                   help=">1 coalesces concurrent requests into one device "
+                        "dispatch (padded to power-of-2 buckets)")
+    p.add_argument("--batch_wait_ms", type=float, default=5.0,
+                   help="how long the collator waits for co-travelers "
+                        "after the first pending request")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
