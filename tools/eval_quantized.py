@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", default="")
     p.add_argument("--model", default="mobilenetv2_unet")
+    p.add_argument("--base_filters", type=int, default=0,
+                   help="family width knob (0 = registry default)")
     p.add_argument("--samples", type=int, default=64)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--width", type=int, default=256)
@@ -59,7 +61,9 @@ def main(argv=None) -> int:
     from tpuseg.train.metrics import confusion_matrix, mean_iou
 
     # apply-time rewrites off so calibration sees every conv input
-    model = build_model(ModelConfig(name=args.model, up_subpixel=False))
+    model = build_model(ModelConfig(
+        name=args.model, base_filters=args.base_filters, up_subpixel=False
+    ))
 
     def init_fn():
         from tpuseg.core.device_io import init_variables_on_host
