@@ -170,3 +170,39 @@ def test_bf16_head_close_and_same_tree():
     # and the vast majority of argmax classes agree even at random init
     agree = float((jnp.argmax(a, -1) == jnp.argmax(b, -1)).mean())
     assert agree > 0.97
+
+
+def test_validate_input_size_contract():
+    """Every entry point validates the family's H/W divisibility contract
+    up front (x32 MobileNetV2 families, x8 UNet/LightUNet) instead of
+    failing with a mid-trace concat shape error."""
+    from tpuseg.models.registry import size_divisor, validate_input_size
+
+    assert size_divisor("mobilenetv2_unet") == 32
+    assert size_divisor("mobilenetv2_fpn") == 32
+    assert size_divisor("mobilenetv2_deeplab") == 32
+    assert size_divisor("unet") == 8
+    assert size_divisor(UNet(output_channels=3)) == 8
+    assert size_divisor(MobileNetV2UNet(output_channels=10)) == 32
+
+    validate_input_size("mobilenetv2_unet", 128, 256)  # reference size: ok
+    validate_input_size("unet", 24, 64)
+    with pytest.raises(ValueError, match="multiples of 32"):
+        validate_input_size("mobilenetv2_deeplab", 48, 64)
+    with pytest.raises(ValueError, match="multiples of 8"):
+        validate_input_size(LightUNet(), 12, 16)
+    with pytest.raises(KeyError):
+        size_divisor("not_a_model")
+
+    # the Predictor surfaces the same clean error
+    from tpuseg.configs import load_config
+    from tpuseg.infer.predictor import Predictor
+
+    cfg = load_config(
+        ["--model.name=mobilenetv2_fpn", "--data.height=40",
+         "--data.width=64"]
+    )
+    with pytest.raises(ValueError, match="multiples of 32"):
+        Predictor(
+            model_cfg=cfg.model, input_hw=(40, 64), batch_size=1
+        )

@@ -331,3 +331,29 @@ def test_convert_cli_onnx_rejects_fp16(tmp_path):
         "--export.dtype=float16",
     ])
     assert rc == 1
+
+
+def test_export_rejects_non_multiple_sizes():
+    """Non-multiple-of-32 (MobileNetV2 families) / -of-8 (UNet) sizes must
+    fail AT EXPORT: the emitted cascaded 2x resizes (and deeplab's pooled
+    broadcast, scaled by height//32) only land on the encoder grids when
+    the divisibility contract holds — otherwise the artifact is silently
+    invalid and only the downstream consumer errors."""
+    from tpuseg.models.deeplab import MobileNetV2DeepLab
+    from tpuseg.models.fpn import MobileNetV2FPN
+
+    for model, good_hw, bad_hw in (
+        (MobileNetV2DeepLab(output_channels=10, aspp_channels=16,
+                            width_mult=0.25), (32, 64), (48, 64)),
+        (MobileNetV2FPN(output_channels=10, fpn_channels=16,
+                        width_mult=0.25), (32, 64), (32, 40)),
+        (MobileNetV2UNet(output_channels=10, width_mult=0.25),
+         (32, 64), (40, 64)),
+        (UNet(output_channels=3, base_filters=4), (16, 16), (12, 16)),
+    ):
+        # init at a contract-conforming size (the Flax module itself
+        # cannot even trace a bad one); only the export size is bad
+        x = jnp.zeros((1, *good_hw, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        with pytest.raises(ValueError, match="multiples of"):
+            export_onnx(model, variables, height=bad_hw[0], width=bad_hw[1])

@@ -183,20 +183,25 @@ class _Batcher:
                 except queue.Empty:
                     break
             n = len(batch)
-            b = self._bucket(n)
-            frames = np.stack(
-                [item[0] for item in batch]
-                + [np.zeros_like(batch[0][0])] * (b - n)
-            )
+            # Everything that can raise lives inside the try: if assembly
+            # (stack/pad) died outside it, this daemon thread would exit and
+            # every pending submit() would block on done.wait() forever
+            # while /healthz still reported ok.
             try:
+                b = self._bucket(n)
+                frames = np.stack(
+                    [item[0] for item in batch]
+                    + [np.zeros_like(batch[0][0])] * (b - n)
+                )
                 classes = self.predictor(frames)
                 for i, (_, done, slot) in enumerate(batch):
                     slot["classes"] = classes[i]
                     done.set()
             except Exception as e:  # fan the failure out, keep serving
                 for _, done, slot in batch:
-                    slot["error"] = f"{type(e).__name__}: {e}"
-                    done.set()
+                    if not done.is_set():
+                        slot["error"] = f"{type(e).__name__}: {e}"
+                        done.set()
             self.dispatches += 1
             self.max_seen = max(self.max_seen, n)
 

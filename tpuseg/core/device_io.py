@@ -145,6 +145,10 @@ def init_variables_on_host(model, height: int, width: int) -> dict:
     ONE host-side program (the shared init_fn of the CLI tools)."""
     import jax.numpy as jnp
 
+    from tpuseg.models.registry import validate_input_size
+
+    validate_input_size(model, height, width)
+
     def _init():
         v = model.init(
             jax.random.PRNGKey(0),

@@ -388,16 +388,13 @@ def _emit_fpn(g: GraphBuilder, x: str, variables, model) -> str:
     p4 = g.add(lat("lat4", c4), g.resize_nearest(p5, 2.0, 2.0))
     p3 = g.add(lat("lat3", c3), g.resize_nearest(p4, 2.0, 2.0))
     p2 = g.add(lat("lat2", c2), g.resize_nearest(p3, 2.0, 2.0))
-    levels = []
-    for steps, (name, p) in enumerate(
-        (("smooth2", p2), ("smooth3", p3), ("smooth4", p4), ("smooth5", p5))
-    ):
-        levels.append((steps, g.conv_bn_act(p, name, params[name], stats[name])))
     y = None
-    for steps, (name, _) in enumerate(
-        (("head2", None), ("head3", None), ("head4", None), ("head5", None))
+    for steps, (smooth, head, p) in enumerate(
+        (("smooth2", "head2", p2), ("smooth3", "head3", p3),
+         ("smooth4", "head4", p4), ("smooth5", "head5", p5))
     ):
-        h = g.conv_bn_act(levels[steps][1], name, params[name], stats[name])
+        h = g.conv_bn_act(p, smooth, params[smooth], stats[smooth])
+        h = g.conv_bn_act(h, head, params[head], stats[head])
         for _ in range(steps):
             h = g.resize2x(h, align_corners=False)
         y = h if y is None else g.add(y, h)
@@ -483,6 +480,24 @@ def export_onnx(
     from tpuseg.models.unet import LightUNet, UNet
 
     import jax
+
+    # The emitted cascaded 2x resizes (and deeplab's pooled-branch
+    # broadcast, which scales by height//32) must land exactly on the
+    # encoder grids — the same multiple-of-32 (MobileNetV2 families) /
+    # multiple-of-8 (UNet/LightUNet) contract the Flax modules document
+    # (tpuseg/models/deeplab.py). Validate here so a bad size fails at
+    # export instead of inside the downstream ONNX consumer.
+    if isinstance(model, (MobileNetV2UNet, MobileNetV2FPN, MobileNetV2DeepLab)):
+        down = 32
+    elif isinstance(model, (UNet, LightUNet)):
+        down = 8
+    else:
+        down = 1
+    if height % down or width % down:
+        raise ValueError(
+            f"{type(model).__name__} ONNX export requires height and width "
+            f"to be multiples of {down}; got {height}x{width}"
+        )
 
     variables = jax.tree_util.tree_map(np.asarray, dict(variables))
     g = GraphBuilder()

@@ -162,6 +162,9 @@ class Predictor:
             from tpuseg.export.stablehlo import load_exported
 
             self.artifact_call = load_exported(artifact)
+        from tpuseg.models.registry import validate_input_size
+
+        validate_input_size(self.model, *input_hw)
         self.input_hw = input_hw
         self.batch_size = batch_size
         # Device argmax+colorize (XLA palette gather; pallas_kernels routes

@@ -66,3 +66,38 @@ def build_model(cfg: ModelConfig):
             f"Unknown model {cfg.name!r}; available: {sorted(MODEL_REGISTRY)}"
         )
     return MODEL_REGISTRY[cfg.name](cfg)
+
+
+def size_divisor(model) -> int:
+    """The input-size contract of ``model`` (an instance or registry name):
+    H and W must be multiples of this. MobileNetV2 encoders downsample x32
+    and the decoders' exact 2x upsamples must land back on every skip grid;
+    UNet/LightUNet pool x8 the same way (tpuseg/models/deeplab.py docstring,
+    'same contract as the other MobileNetV2 families')."""
+    if isinstance(model, str):
+        name = model
+        if name not in MODEL_REGISTRY:
+            raise KeyError(
+                f"Unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}"
+            )
+        return 8 if name in ("unet", "light_unet") else 32
+    if isinstance(model, (UNet, LightUNet)):
+        return 8
+    if isinstance(model, (MobileNetV2UNet, MobileNetV2FPN, MobileNetV2DeepLab)):
+        return 32
+    return 1
+
+
+def validate_input_size(model, height: int, width: int) -> None:
+    """Raise a clear ValueError (instead of a mid-trace concat shape error)
+    when ``height``/``width`` violate the model family's divisibility
+    contract. Call before tracing/initializing at a user-provided size."""
+    down = size_divisor(model)
+    if height % down or width % down:
+        name = model if isinstance(model, str) else type(model).__name__
+        raise ValueError(
+            f"{name} requires input height and width to be multiples of "
+            f"{down}; got {height}x{width} (the encoder downsamples x{down} "
+            f"and the decoder's exact 2x upsamples must land back on every "
+            f"skip-connection grid)"
+        )

@@ -97,6 +97,12 @@ class Trainer:
                 f"data.height {cfg.data.height} must be divisible by the "
                 f"mesh spatial axis ({self.mesh.shape['spatial']})"
             )
+        # ... and the model family's own divisibility contract (x32 for the
+        # MobileNetV2 families, x8 for UNet/LightUNet) — a clear error here
+        # beats a mid-trace concat shape mismatch at model init
+        from tpuseg.models.registry import validate_input_size
+
+        validate_input_size(cfg.model.name, cfg.data.height, cfg.data.width)
         self.combined = combined
         log.info("%s", combined.summary())
         self.pipeline = InputPipeline(
