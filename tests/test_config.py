@@ -66,3 +66,22 @@ def test_sources_flag_validation():
     # A single JSON object is accepted as a one-source shorthand.
     single = load_config(['--data.sources={"kind":"synthetic"}'])
     assert len(single.data.sources) == 1
+
+
+def test_env_platform_override(monkeypatch):
+    """JAX_PLATFORMS=cpu in the env is explicit user intent to stay off the
+    chip, but the axon plugin re-pins the backend to the TPU regardless of
+    the env — so the CLIs route a cpu-FIRST env value through jax.config
+    (the override that actually wins). --platform still takes precedence."""
+    from tpuseg.core.platform import env_platform_override
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert env_platform_override() == "cpu"
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu,axon")
+    assert env_platform_override() == "cpu"
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert env_platform_override() is None
+    monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+    assert env_platform_override() is None
+    monkeypatch.delenv("JAX_PLATFORMS")
+    assert env_platform_override() is None

@@ -46,8 +46,11 @@ def main(argv=None) -> int:
 
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from tpuseg.core.platform import env_platform_override
+
+    platform = args.platform or env_platform_override()
+    if platform:
+        jax.config.update("jax_platforms", platform)
     else:
         from tpuseg.core.device_io import ensure_cpu_backend
 

@@ -59,10 +59,13 @@ def main(argv=None) -> int:
     p.add_argument("--variants", default="nhwc,nchw,gemm_cn,gemm_sn")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
-    if args.platform:
+    from tpuseg.core.platform import env_platform_override
+
+    platform = args.platform or env_platform_override()
+    if platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_platforms", platform)
     from tpuseg.core.platform import enable_compile_cache
 
     enable_compile_cache()

@@ -39,10 +39,13 @@ def main(argv=None) -> int:
                     help="force a jax platform (e.g. cpu)")
     args = ap.parse_args(argv)
 
-    if args.platform:
+    from tpuseg.core.platform import env_platform_override
+
+    platform = args.platform or env_platform_override()
+    if platform:
         import jax
 
-        jax.config.update("jax_platforms", args.platform)
+        jax.config.update("jax_platforms", platform)
 
     import jax
     import jax.numpy as jnp

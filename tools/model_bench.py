@@ -44,8 +44,11 @@ def main(argv=None) -> int:
 
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from tpuseg.core.platform import env_platform_override
+
+    platform = args.platform or env_platform_override()
+    if platform:
+        jax.config.update("jax_platforms", platform)
     from tpuseg.core.platform import enable_compile_cache
 
     enable_compile_cache()

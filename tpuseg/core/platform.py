@@ -43,6 +43,22 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> str:
     return cache_dir
 
 
+def env_platform_override() -> Optional[str]:
+    """"cpu" when the JAX_PLATFORMS env names cpu FIRST, else None.
+
+    The axon plugin's register() (sitecustomize) re-pins the default
+    backend to the TPU regardless of the env (measured: with
+    ``JAX_PLATFORMS=cpu`` the backend still reports 'tpu'), so a user who
+    exported cpu-first gets the chip anyway — and a process they casually
+    kill can wedge it for hours. Honoring that env value through
+    ``jax.config`` (the path that actually wins) makes the intuitive
+    spelling safe; ``--platform`` still takes precedence.
+    """
+    env = os.environ.get("JAX_PLATFORMS", "")
+    first = env.split(",")[0].strip().lower()
+    return "cpu" if first == "cpu" else None
+
+
 def apply_platform_flag(argv: Sequence[str]) -> List[str]:
     enable_compile_cache()
     argv = list(argv)
@@ -53,6 +69,8 @@ def apply_platform_flag(argv: Sequence[str]) -> List[str]:
             platform = a.split("=", 1)[1]
         else:
             remaining.append(a)
+    if platform is None:
+        platform = env_platform_override()
     if platform:
         import jax
 
