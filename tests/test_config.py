@@ -32,6 +32,16 @@ def test_bool_and_tuple_coercion():
     assert cfg.data.mix == (0.6, 0.2, 0.2)
 
 
+def test_scalar_tuple_field_coerces_to_singleton():
+    """--train.class_weights=2 (single value, no comma) must become (2.0,)
+    instead of a bare int that crashes later in Trainer._build_loss
+    (ADVICE r2)."""
+    cfg = load_config(["--train.class_weights=2"])
+    assert cfg.train.class_weights == (2.0,)
+    cfg = load_config(["--train.class_weights=1.5"])
+    assert cfg.train.class_weights == (1.5,)
+
+
 def test_unknown_key_raises():
     with pytest.raises(KeyError):
         load_config(["--train.batchsize=4"])

@@ -231,3 +231,29 @@ def test_batched_healthz_reports_batching(batched_server):
         info = json.loads(r.read())
     assert info["batching"]["max_batch"] == 4
     assert info["batching"]["dispatches"] >= 1
+
+
+def test_unbatched_predictor_failure_returns_500_json(server):
+    """Any exception from the direct (max_batch=1) inference path must come
+    back as a 500 JSON body, not a dropped connection (ADVICE r2: only
+    RuntimeError was caught; the batched path already wrapped everything)."""
+    url, state = server
+    _, png = _png_frame(seed=9)
+    orig = state.infer_model_sized
+
+    def boom(x):
+        raise ValueError("synthetic predictor failure")
+
+    state.infer_model_sized = boom
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url + "/predict", png)
+        assert ei.value.code == 500
+        body = json.loads(ei.value.read())
+        assert "ValueError" in body["error"]
+        assert "synthetic predictor failure" in body["error"]
+    finally:
+        state.infer_model_sized = orig
+    # the server is still alive and serving after the failure
+    with _post(url + "/predict", png) as resp:
+        assert resp.status == 200

@@ -900,3 +900,111 @@ def test_trainer_ema_train_checkpoint_serve(tmp_path, mesh8):
     assert tr2.maybe_resume()
     got2 = np.asarray(jax.tree_util.tree_leaves(tr2.state.ema_params)[0])
     np.testing.assert_allclose(got2, ema)
+
+
+def test_ema_with_grad_accum_updates_on_boundaries_only():
+    """Under optax.MultiSteps(k) params change only every k micro-steps, so
+    the EMA must update exactly once per REAL optimizer update — not k
+    times (which would compound to decay^k, shrinking the documented
+    horizon; ADVICE r2)."""
+    import optax
+
+    from tpuseg.models.unet import UNet
+
+    model = UNet(output_channels=4, base_filters=4)
+    k, d = 2, 0.5
+    tx = optax.MultiSteps(optax.adam(1e-2), every_k_schedule=k)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 16, 32, 3), tx=tx, ema=True
+    )
+    step = make_train_step(donate=False, ema_decay=d)
+    x, y = _toy_batch()
+
+    p0 = jax.tree.map(np.asarray, state.params)
+    e0 = jax.tree.map(np.asarray, state.ema_params)
+
+    # micro-step 1 of 2: gradients accumulate, params frozen -> EMA frozen
+    state, _ = step(state, x, y)
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        jax.tree.map(np.asarray, state.params), p0,
+    )
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        jax.tree.map(np.asarray, state.ema_params), e0,
+    )
+
+    # micro-step 2 of 2: real update -> exactly ONE EMA application
+    state, _ = step(state, x, y)
+    p1 = jax.tree.map(np.asarray, state.params)
+    assert not np.allclose(
+        p1["inc"]["conv1"]["conv"]["kernel"],
+        p0["inc"]["conv1"]["conv"]["kernel"],
+    )
+    want = jax.tree.map(lambda e, p: d * e + (1 - d) * p, e0, p1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+        jax.tree.map(np.asarray, state.ema_params), want,
+    )
+
+
+def test_resume_with_ema_toggled_both_directions(tmp_path, mesh8):
+    """Toggling --train.ema_decay across a resume must work (ADVICE r2):
+    EMA-on resuming an EMA-off checkpoint seeds EMA from the restored
+    params; EMA-off resuming an EMA-on checkpoint restores raw params and
+    discards the average."""
+    from tpuseg.train.trainer import Trainer
+
+    def argv(ema_decay, ckdir):
+        return [
+            "--model.name=unet", "--model.base_filters=4",
+            "--data.width=32", "--data.height=16",
+            "--train.batch_size=8", "--train.epochs=1",
+            "--train.steps_per_epoch=2", "--train.lr=1e-2",
+            f"--train.ema_decay={ema_decay}",
+            "--data.val_split=0.25", "--train.log_every=0",
+            f"--train.checkpoint_dir={ckdir}",
+        ]
+
+    sources = (
+        DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+    )
+
+    # EMA-off checkpoint -> EMA-on resume: seeded from restored params
+    cfg = load_config(argv(0.0, f"{tmp_path}/off"))
+    cfg.data.sources = sources
+    t = Trainer(cfg)
+    t.train()
+    t.ckpt.wait()
+    cfg2 = load_config(argv(0.9, f"{tmp_path}/off"))
+    cfg2.data.sources = sources
+    t2 = Trainer(cfg2)
+    assert t2.maybe_resume()
+    assert t2.state.ema_params is not None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        t2.state.ema_params, t2.state.params,
+    )
+    # ... and the seeded tree does not alias params (both are donated)
+    for e, p in zip(jax.tree.leaves(t2.state.ema_params),
+                    jax.tree.leaves(t2.state.params)):
+        assert e is not p
+
+    # EMA-on checkpoint -> EMA-off resume: raw params restored, EMA dropped
+    cfg3 = load_config(argv(0.9, f"{tmp_path}/on"))
+    cfg3.data.sources = sources
+    t3 = Trainer(cfg3)
+    t3.train()
+    t3.ckpt.wait()
+    raw = jax.tree.map(np.asarray, t3.state.params)
+    cfg4 = load_config(argv(0.0, f"{tmp_path}/on"))
+    cfg4.data.sources = sources
+    t4 = Trainer(cfg4)
+    assert t4.maybe_resume()
+    assert t4.state.ema_params is None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        t4.state.params, raw,
+    )

@@ -279,8 +279,14 @@ def _make_handler(state: _State):
                 x = rgb
             try:
                 classes = state.infer_model_sized(x)
-            except RuntimeError as e:
-                return self._send_json(500, {"error": str(e)})
+            except Exception as e:
+                # both paths must answer with a 500 JSON body: the batcher
+                # wraps failures in RuntimeError, but the direct batch-1
+                # Predictor can raise anything — an escaped exception here
+                # drops the connection instead of reporting the error
+                return self._send_json(
+                    500, {"error": f"{type(e).__name__}: {e}"}
+                )
             if classes.shape != (fh, fw):
                 from tpuseg.infer.predictor import upscale_nearest_host
 

@@ -285,6 +285,11 @@ def _coerce(value: str, target_type: Any) -> Any:
         parsed = json.loads(value)
         if isinstance(parsed, list):
             return tuple(parsed)
+        if target_type is tuple and isinstance(parsed, (int, float)):
+            # --train.class_weights=2 (single value, no comma) parses to a
+            # bare scalar; stored uncoerced it crashes much later inside
+            # Trainer._build_loss with an opaque TypeError — wrap it here.
+            return (float(parsed),)
         return parsed
     except json.JSONDecodeError:
         if target_type is tuple:

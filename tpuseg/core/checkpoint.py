@@ -33,7 +33,13 @@ class CheckpointManager:
             max_to_keep=max_to_keep,
             enable_async_checkpointing=async_save,
         )
-        self._mgr = ocp.CheckpointManager(directory, options=options)
+        # register the handler up front: a FRESH manager can then serve
+        # item_metadata()/restore() without having saved first (otherwise
+        # orbax cannot infer the item type and saved_keys returns None)
+        self._mgr = ocp.CheckpointManager(
+            directory, options=options,
+            item_handlers=ocp.StandardCheckpointHandler(),
+        )
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
         # Overwrite-on-collision: a step can legitimately already exist —
@@ -67,6 +73,22 @@ class CheckpointManager:
                 step, args=ocp.args.StandardRestore(abstract)
             )
         return self._mgr.restore(step)
+
+    def saved_keys(self, step: Optional[int] = None, subtree=()) -> Optional[set]:
+        """Key set of the saved pytree (optionally of a nested dict subtree),
+        read from Orbax metadata WITHOUT restoring — lets callers build a
+        restore template that matches what was actually saved (e.g. a
+        checkpoint written with/without an EMA tree). None when the step or
+        metadata is unavailable."""
+        try:
+            if step is None:
+                step = self.latest_step()
+            tree = self._mgr.item_metadata(step).tree
+            for k in subtree:
+                tree = tree[k]
+            return set(tree.keys())
+        except Exception:
+            return None
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -226,6 +226,17 @@ def _step_body(
                 lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
                 state.ema_params, state.params,
             )
+            if isinstance(state.opt_state, optax.MultiStepsState):
+                # grad_accum: params only change every K micro-steps, so an
+                # unconditional EMA update would run K times per real update
+                # (effective decay = decay^K, a K-fold shorter horizon).
+                # MultiSteps wraps mini_step back to 0 exactly when it
+                # applies the accumulated update — gate on that boundary.
+                updated = state.opt_state.mini_step == 0
+                ema = jax.tree.map(
+                    lambda new, old: jnp.where(updated, new, old),
+                    ema, state.ema_params,
+                )
             state = state.replace(ema_params=ema)
         metrics = {"loss": loss}
         return state, metrics

@@ -503,23 +503,67 @@ class Trainer:
             "step": np.asarray(0, np.int64),
             "epoch": np.asarray(0, np.int64),
         }
-        if self.state.ema_params is not None:
-            tstate["ema_params"] = self.state.ema_params
-        template = {"state": tstate, "sampler": self._sampler_state_pytree()}
+        ema_on = self.state.ema_params is not None
+        # Build the template to match what was actually SAVED (orbax
+        # metadata), so toggling --train.ema_decay across a resume works in
+        # both directions instead of dying on a structure mismatch: an
+        # EMA-on run resuming an EMA-off checkpoint seeds EMA from the
+        # restored params; an EMA-off run discards the saved EMA tree.
+        saved = self.ckpt.saved_keys(subtree=("state",))
         has_epoch = True
-        try:
+        if saved is not None:
+            if ema_on and "ema_params" in saved:
+                tstate["ema_params"] = self.state.ema_params
+            elif not ema_on and "ema_params" in saved:
+                log.warning(
+                    "checkpoint carries an EMA tree but --train.ema_decay=0;"
+                    " restoring raw params and discarding the EMA average"
+                )
+                tstate["ema_params"] = self.state.params
+            has_epoch = "epoch" in saved
+            if not has_epoch:  # predates the explicit epoch counter
+                del tstate["epoch"]
+            template = {"state": tstate, "sampler": self._sampler_state_pytree()}
             restored = self.ckpt.restore(template=template)
-        except Exception:
-            # checkpoint predates the explicit epoch counter
-            del template["state"]["epoch"]
-            restored = self.ckpt.restore(template=template)
-            has_epoch = False
+        else:  # metadata unavailable: probe, then fail with a clear message
+            if ema_on:
+                tstate["ema_params"] = self.state.ema_params
+            template = {"state": tstate, "sampler": self._sampler_state_pytree()}
+            try:
+                restored = self.ckpt.restore(template=template)
+            except Exception:
+                del template["state"]["epoch"]
+                has_epoch = False
+                try:
+                    restored = self.ckpt.restore(template=template)
+                except Exception as e:
+                    raise RuntimeError(
+                        "checkpoint restore failed: saved tree does not match "
+                        "the current training state (most likely "
+                        "--train.ema_decay was toggled relative to the run "
+                        "that wrote the checkpoint)"
+                    ) from e
         st = restored["state"]
+        if ema_on:
+            ema = st.get("ema_params")
+            if ema is None:
+                log.info(
+                    "checkpoint has no EMA tree; seeding EMA from restored "
+                    "params"
+                )
+                # one jitted copy program (distinct buffers — the step
+                # donates both trees), not per-leaf eager copies: each eager
+                # op is a ~50-100 ms tunnel round trip (CLAUDE.md)
+                ema = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(
+                    st["params"]
+                )
+        else:
+            ema = None
         self.state = self.state.replace(
             params=st["params"],
             batch_stats=st["batch_stats"],
             opt_state=st["opt_state"],
-            ema_params=st.get("ema_params", self.state.ema_params),
+            ema_params=ema,
         )
         self.step = int(st["step"])
         if has_epoch:
