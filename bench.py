@@ -387,6 +387,32 @@ def main() -> None:
 
     env = dict(os.environ, TPUSEG_BENCH_CHILD="1")
     watchdog_s = int(os.environ.get("TPUSEG_BENCH_TIMEOUT", "2400"))
+    # If this host isn't recorded compatible with the cache's AOT artifacts,
+    # the child will probe (one CPU subprocess) and may cold-compile in a
+    # per-host cache subdir — widen the (non-killing) watchdog so the fresh
+    # measurement still lands instead of falling back to a stale record.
+    # Loaded from the file directly: the parent must stay jax-import-free.
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_tpuseg_platform",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tpuseg", "core", "platform.py"),
+        )
+        _plat = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(_plat)
+        status = _plat.cache_status()
+        if status != "compatible" and "TPUSEG_BENCH_TIMEOUT" not in os.environ:
+            widened = max(watchdog_s, 3600)
+            print(
+                f"bench: compile cache status {status!r} for this host — "
+                f"watchdog {watchdog_s}s -> {widened}s (probe and/or cold "
+                "compile ahead)", file=sys.stderr,
+            )
+            watchdog_s = widened
+    except Exception:
+        pass  # widening is best-effort; the stale fallback still exists
     out_file = tempfile.NamedTemporaryFile(
         mode="w+", suffix=".bench.json", delete=False
     )

@@ -37,13 +37,14 @@ jax.config.update("jax_numpy_rank_promotion", "raise")
 # clock on this 1-core host; a warm cache cuts re-runs several-fold.
 # TPUSEG_TEST_NO_CACHE=1 opts out (e.g. to measure cold-compile behavior).
 if os.environ.get("TPUSEG_TEST_NO_CACHE", "0") != "1":
-    jax.config.update(
-        "jax_compilation_cache_dir",
+    # the safe path: probes/stamps the cache for this host's CPU features
+    # before trusting its AOT entries (tpuseg.core.platform, VERDICT r2)
+    from tpuseg.core.platform import enable_compile_cache
+
+    enable_compile_cache(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
-                     ".xla_cache"),
+                     ".xla_cache")
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
