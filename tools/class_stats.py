@@ -92,6 +92,10 @@ def main(argv=None) -> int:
                    help="cap on images scanned (0 = all)")
     p.add_argument("--scheme", default="median",
                    choices=["median", "inverse"])
+    p.add_argument("--car_prob", type=float, default=1.0,
+                   help="synthetic only: imbalance rehearsal knob")
+    p.add_argument("--car_scale", type=float, default=1.0,
+                   help="synthetic only: imbalance rehearsal knob")
     args = p.parse_args(argv)
 
     from tpuseg.configs import DatasetSourceConfig
@@ -107,6 +111,7 @@ def main(argv=None) -> int:
         kind=args.kind, img_dir=img_dir, mask_dir=mask_dir,
         annotation_file=args.annotation_file, packed_dir=args.packed_dir,
         num_samples=args.samples or 64, weight=1.0,
+        car_prob=args.car_prob, car_scale=args.car_scale,
     )
     try:
         source = build_source(cfg, args.width, args.height)

@@ -57,6 +57,11 @@ class DatasetSourceConfig:
     annotation_file: str = ""            # seame (JSON-lines polygons)
     weight: float = 0.0                  # target sampling fraction (see mix below)
     num_samples: int = 64                # synthetic only
+    # synthetic only: class-imbalance rehearsal knobs (probability each
+    # candidate car is drawn / car size multiplier). Defaults = balanced
+    # scenes, bit-identical to the original generator.
+    car_prob: float = 1.0
+    car_scale: float = 1.0
     # "packed": a tools/pack_dataset.py output dir (pre-decoded memmap —
     # zero host decode at train time)
     packed_dir: str = ""

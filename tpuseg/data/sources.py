@@ -201,13 +201,24 @@ class SEAMESource:
 class SyntheticSource:
     """Deterministic procedural road scenes: trapezoid road on the ground
     plane, sidewalk bands, rectangular 'cars'. Learnable structure for
-    integration tests and benchmarks without any dataset on disk."""
+    integration tests and benchmarks without any dataset on disk.
 
-    def __init__(self, num_samples: int, width: int, height: int, seed: int = 0):
+    ``car_prob`` / ``car_scale`` make the car class deliberately rare/small
+    (the class-imbalance rehearsal regime for --train.class_weights and
+    focal loss — the real datasets' rare classes, reference
+    src/BDD100KDataset.py's 10-class map, cannot be shipped in-image). Both
+    default to the balanced behavior and, at their defaults, consume the
+    exact RNG stream of the original generator, so existing
+    distribution-parity tests stay bit-identical."""
+
+    def __init__(self, num_samples: int, width: int, height: int, seed: int = 0,
+                 car_prob: float = 1.0, car_scale: float = 1.0):
         self.n = num_samples
         self.width = width
         self.height = height
         self.seed = seed
+        self.car_prob = car_prob
+        self.car_scale = car_scale
 
     def __len__(self) -> int:
         return self.n
@@ -239,7 +250,13 @@ class SyntheticSource:
         image[side] = (160, 150, 140)
         # cars
         for _ in range(rng.randint(1, 4)):
+            # Imbalance gates draw from the SAME stream but only when the
+            # knobs are non-default, keeping the balanced stream unchanged.
+            if self.car_prob < 1.0 and rng.random_sample() >= self.car_prob:
+                continue
             cw = rng.randint(w // 12, w // 6)
+            if self.car_scale != 1.0:
+                cw = max(3, int(cw * self.car_scale))
             ch = max(4, cw // 2)
             y0 = rng.randint(horizon, max(horizon + 1, h - ch - 1))
             x0 = rng.randint(0, max(1, w - cw - 1))
@@ -321,7 +338,8 @@ def build_source(cfg: DatasetSourceConfig, width: int, height: int):
     if cfg.kind == "seame":
         return SEAMESource(cfg.img_dir, cfg.annotation_file, width, height)
     if cfg.kind == "synthetic":
-        return SyntheticSource(cfg.num_samples, width, height)
+        return SyntheticSource(cfg.num_samples, width, height,
+                               car_prob=cfg.car_prob, car_scale=cfg.car_scale)
     if cfg.kind == "packed":
         return PackedSource(cfg.packed_dir, width, height)
     raise KeyError(f"unknown source kind {cfg.kind!r}")
