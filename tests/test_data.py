@@ -244,6 +244,35 @@ def test_eval_miou_tool_on_bdd_fixture(fake_bdd):
     assert eval_miou.main(["--data_dir", "/nonexistent"]) == 1
 
 
+def test_eval_miou_limit_subsample():
+    """--limit N: the first-contact smoke mode (README 'when BDD100K lands'
+    checklist) evaluates an evenly-strided deterministic subset."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    import tools.eval_miou as eval_miou
+
+    def run(extra):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = eval_miou.main([
+                "--kind", "synthetic", "--samples", "32",
+                "--model", "unet", "--base_filters", "4",
+                "--width", "64", "--height", "32", "--batch", "4",
+            ] + extra)
+        assert rc == 0
+        [line] = [l for l in buf.getvalue().splitlines() if l.startswith("{")]
+        return json.loads(line)
+
+    limited = run(["--limit", "8"])
+    assert limited["n_images"] == 8
+    # deterministic: same subset, same score, run to run
+    assert run(["--limit", "8"]) == limited
+    # a limit >= the dataset is a no-op
+    assert run(["--limit", "999"])["n_images"] == 32
+
+
 def test_sample_cache_exact_and_bounded():
     """Cache hits are byte-identical; eviction keeps usage under budget."""
     from tpuseg.data.pipeline import SampleCache

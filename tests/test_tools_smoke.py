@@ -95,6 +95,39 @@ def test_eval_quantized_smoke(monkeypatch, capsys, tmp_path):
     assert "int8" in out or "fp16" in out
 
 
+def test_eval_quantized_real_dataset(monkeypatch, capsys, tmp_path):
+    """--data_dir: the int8 acceptance gate runs on a real dataset layout
+    (first-contact checklist step 6) — eval AND calibration read real files."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    img_dir = tmp_path / "images"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        cv2.imwrite(str(img_dir / f"{i:03d}.jpg"),
+                    rng.randint(0, 255, (60, 100, 3), np.uint8))
+        cv2.imwrite(str(mask_dir / f"{i:03d}.png"),
+                    rng.randint(0, 20, (60, 100), np.uint8))
+    rc = _run_tool(
+        "eval_quantized",
+        ["--data_dir", str(tmp_path), "--samples", "6", "--batch", "2",
+         "--width", "64", "--height", "32",
+         "--model", "unet", "--base_filters", "4"],
+        monkeypatch, tmp_path,
+    )
+    out = capsys.readouterr().out
+    assert '"int8_full"' in out and '"fp32"' in out
+    assert rc == 0, out
+    # a missing dataset fails loudly, not silently
+    assert _run_tool(
+        "eval_quantized", ["--data_dir", str(tmp_path / "nope")],
+        monkeypatch, tmp_path,
+    ) == 1
+
+
 def test_pipeline_bench_smoke(monkeypatch, capsys, tmp_path):
     rc = _run_tool(
         "pipeline_bench",

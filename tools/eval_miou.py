@@ -51,6 +51,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--samples", type=int, default=64,
                    help="synthetic only: number of val samples")
+    p.add_argument("--limit", type=int, default=0,
+                   help="evaluate only N images, evenly strided across the "
+                        "dataset (deterministic) — the first-contact smoke "
+                        "run on a large val set (0 = all)")
     p.add_argument("--normalize_mean", default="",
                    help='comma-separated, e.g. "0.5,0.5,0.5" — must match '
                         "the training normalization (default: ImageNet)")
@@ -104,6 +108,21 @@ def main(argv=None) -> int:
     if len(source) == 0:
         print(f"ERROR: no samples found under {img_dir!r}", file=sys.stderr)
         return 1
+    if args.limit and args.limit < len(source):
+        # Deterministic evenly-strided subsample: representative across the
+        # (sorted) dataset order, reproducible run to run — the smoke-check
+        # mode for first contact with a real val set (README checklist).
+        idx = np.linspace(0, len(source) - 1, args.limit).astype(int)
+        base = source
+
+        class _Strided:
+            def __len__(self_inner):
+                return len(idx)
+
+            def load(self_inner, i):
+                return base.load(int(idx[i]))
+
+        source = _Strided()
     # val_split=1.0: the WHOLE dataset is the (deterministic) eval split
     combined = CombinedDataset([source], val_split=1.0)
     pipeline = InputPipeline(

@@ -6,11 +6,14 @@ claims FP16/TensorRT deployment qualitatively, README.md:113-117, with no
 accuracy number — this harness produces the number).
 
     python tools/eval_quantized.py --platform cpu \
-        [--checkpoint ckpt_dir_or_pth] [--samples 64]
+        [--checkpoint ckpt_dir_or_pth] [--samples 64] \
+        [--data_dir /data/bdd100k [--kind bdd100k|carla|seame]]
 
 With no checkpoint it evaluates a randomly-initialized model on synthetic
 val data — the DELTAS between variants are still meaningful (same inputs,
-same weights modulo quantization).
+same weights modulo quantization). With --data_dir (first-contact
+checklist, README), eval AND int8 activation calibration both read the
+real files.
 """
 
 from __future__ import annotations
@@ -29,6 +32,16 @@ def main(argv=None) -> int:
     p.add_argument("--model", default="mobilenetv2_unet")
     p.add_argument("--base_filters", type=int, default=0,
                    help="family width knob (0 = registry default)")
+    p.add_argument("--data_dir", default="",
+                   help="real dataset root with images/ + masks/ (bdd100k "
+                        "layout) — eval AND int8 calibration both read real "
+                        "images (default: synthetic scenes)")
+    p.add_argument("--img_dir", default="")
+    p.add_argument("--mask_dir", default="")
+    p.add_argument("--annotation_file", default="", help="seame JSONL")
+    p.add_argument("--kind", default="bdd100k",
+                   choices=["bdd100k", "carla", "seame"],
+                   help="loader for --data_dir/--img_dir")
     p.add_argument("--samples", type=int, default=64)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--width", type=int, default=256)
@@ -96,14 +109,55 @@ def main(argv=None) -> int:
         },
     }
 
+    # Eval + calibration sources: a real dataset when given (first-contact
+    # checklist — activation ranges must be calibrated on REAL images, not
+    # synthetic scenes), else the synthetic fallback.
+    real_src = None
+    if args.data_dir or args.img_dir:
+        from tpuseg.configs import DatasetSourceConfig
+        from tpuseg.data.sources import build_source
+
+        src_cfg = DatasetSourceConfig(
+            kind=args.kind,
+            img_dir=args.img_dir or os.path.join(args.data_dir, "images"),
+            mask_dir=args.mask_dir or os.path.join(args.data_dir, "masks"),
+            annotation_file=args.annotation_file, weight=1.0,
+        )
+        try:
+            real_src = build_source(src_cfg, args.width, args.height)
+        except (FileNotFoundError, NotADirectoryError, OSError) as e:
+            print(f"ERROR: cannot open dataset: {e}", file=sys.stderr)
+            return 1
+        if len(real_src) == 0:
+            print("ERROR: no samples found", file=sys.stderr)
+            return 1
+        args.samples = min(args.samples, len(real_src))
+
     # full int8 (calibrated activations + int8 convs)
     from tpuseg.export.int8_full import calibrate
 
-    calib_src = SyntheticSource(args.batch * 2, args.width, args.height,
-                                seed=77)
+    if real_src is None:
+        calib_src = SyntheticSource(args.batch * 2, args.width, args.height,
+                                    seed=77)
+        calib_imgs = [calib_src.load(i)[0] for i in range(args.batch * 2)]
+    else:
+        # calibrate on evenly-strided real images (may overlap eval — fine:
+        # calibration only reads activation ranges, not labels); skip
+        # unreadable files, repeat to fill if the tail is short
+        calib_idx = np.linspace(
+            0, len(real_src) - 1, args.batch * 2
+        ).astype(int)
+        calib_imgs = [pr[0] for pr in (real_src.load(int(i))
+                                       for i in calib_idx) if pr is not None]
+        if not calib_imgs:
+            print("ERROR: no readable calibration images", file=sys.stderr)
+            return 1
+        n_readable = len(calib_imgs)
+        while len(calib_imgs) < args.batch * 2:
+            calib_imgs.append(calib_imgs[len(calib_imgs) % n_readable])
     calib = [
         normalize_images(jnp.asarray(np.stack(
-            [calib_src.load(i)[0] for i in range(b, b + args.batch)])))
+            calib_imgs[b : b + args.batch])))
         for b in (0, args.batch)
     ]
     quant = calibrate(model, base, calib)
@@ -118,13 +172,19 @@ def main(argv=None) -> int:
         logits = model.apply(bound, x, train=False)
         return jnp.argmax(logits, axis=-1)
 
-    src = SyntheticSource(args.samples, args.width, args.height, seed=123)
+    src = real_src if real_src is not None else SyntheticSource(
+        args.samples, args.width, args.height, seed=123
+    )
     results = {}
     cms = {k: np.zeros((10, 10), np.int64) for k in variants}
     agree = {k: [0, 0] for k in variants}
     for start in range(0, args.samples, args.batch):
-        imgs, masks = zip(*(src.load(i) for i in
-                            range(start, min(start + args.batch, args.samples))))
+        pairs = [src.load(i) for i in
+                 range(start, min(start + args.batch, args.samples))]
+        pairs = [pr for pr in pairs if pr is not None]  # skip unreadable
+        if not pairs:
+            continue
+        imgs, masks = zip(*pairs)
         x = normalize_images(jnp.asarray(np.stack(imgs)))
         y = jnp.asarray(np.stack(masks), jnp.int32)
         ref_pred = None
