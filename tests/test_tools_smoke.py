@@ -95,6 +95,37 @@ def test_eval_quantized_smoke(monkeypatch, capsys, tmp_path):
     assert "int8" in out or "fp16" in out
 
 
+def test_make_demo_video_smoke(capsys, tmp_path):
+    """The demo-clip generator writes a decodable mp4 with the requested
+    geometry (the zero-downloads input for `python inference.py`)."""
+    cv2 = pytest.importorskip("cv2")
+    import importlib.util as ilu
+    import sys
+
+    spec = ilu.spec_from_file_location(
+        "make_demo_video_smoke", os.path.join(REPO, "tools", "make_demo_video.py")
+    )
+    mod = ilu.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    try:
+        spec.loader.exec_module(mod)
+        out = str(tmp_path / "demo.mp4")
+        assert mod.main(out, frames=10, w=64, h=36) == 0
+    finally:
+        sys.modules.pop(spec.name, None)
+    assert "wrote" in capsys.readouterr().out
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape == (36, 64, 3)
+        n += 1
+    cap.release()
+    assert n == 10
+
+
 def test_eval_quantized_real_dataset(monkeypatch, capsys, tmp_path):
     """--data_dir: the int8 acceptance gate runs on a real dataset layout
     (first-contact checklist step 6) — eval AND calibration read real files."""
