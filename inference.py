@@ -46,6 +46,7 @@ def main(argv=None) -> int:
         colorize_on_device=cfg.infer.colorize_on_device,
         upscale_on_host=cfg.infer.upscale_on_host,
         preprocess_on_host=cfg.infer.preprocess_on_host,
+        device_close=cfg.infer.device_close,
         normalize_mean=cfg.data.normalize_mean,
         normalize_std=cfg.data.normalize_std,
     )

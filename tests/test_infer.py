@@ -127,6 +127,89 @@ def test_predictor_host_upscale_equals_device_upscale():
         np.testing.assert_array_equal(a, b)
 
 
+def test_morph_close_matches_cv2():
+    """Device 5x5 (and 3x3/7x7) morph-close == cv2.morphologyEx bit-exact,
+    including border behavior (cv2's default border is a no-op per pass)."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops.morphology import morph_close
+
+    rng = np.random.RandomState(0)
+    for h, w, k, p in [(32, 64, 5, 0.5), (17, 23, 5, 0.1), (40, 40, 3, 0.3),
+                       (64, 64, 7, 0.02), (60, 100, 5, 0.9)]:
+        m = (rng.random_sample((h, w)) < p).astype(np.uint8) * 255
+        ker = cv2.getStructuringElement(cv2.MORPH_RECT, (k, k))
+        ref = cv2.morphologyEx(m, cv2.MORPH_CLOSE, ker)
+        got = np.asarray(morph_close(jnp.asarray(m > 0), k))
+        np.testing.assert_array_equal(got.astype(np.uint8) * 255, ref)
+    # batched form (the Predictor's shape)
+    mb = rng.random_sample((3, 30, 50)) < 0.4
+    gb = np.asarray(morph_close(jnp.asarray(mb), 5))
+    ker = cv2.getStructuringElement(cv2.MORPH_RECT, (5, 5))
+    for i in range(3):
+        ref = cv2.morphologyEx(mb[i].astype(np.uint8) * 255,
+                               cv2.MORPH_CLOSE, ker)
+        np.testing.assert_array_equal(gb[i].astype(np.uint8) * 255, ref)
+
+
+def test_device_close_identical_output():
+    """device_close (close on device, packed into the class map's high bit,
+    CC keep-largest on host) produces bit-identical overlays and car counts
+    to the all-host postprocess path."""
+    from tpuseg.infer.postprocess import overlay_predictions
+
+    cfg = ModelConfig(name="unet", base_filters=4, num_classes=10)
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 255, (4, 60, 100, 3), np.uint8)
+
+    host = Predictor(cfg, input_hw=(32, 64), batch_size=4)
+    dev = Predictor(cfg, input_hw=(32, 64), batch_size=4,
+                    upscale_on_host=False, device_close=True)
+    classes_host = host(frames)
+    fetched = dev(frames)
+    closed = fetched >= 0x80
+    classes_dev = fetched & 0x7F
+    np.testing.assert_array_equal(classes_dev, classes_host)
+    # the packed bit IS the cv2 close of the road plane at frame res
+    ker = cv2.getStructuringElement(cv2.MORPH_RECT, (5, 5))
+    for i in range(4):
+        ref_close = cv2.morphologyEx(
+            (classes_host[i] == 1).astype(np.uint8) * 255,
+            cv2.MORPH_CLOSE, ker)
+        np.testing.assert_array_equal(closed[i].astype(np.uint8) * 255,
+                                      ref_close)
+        # end-to-end overlay equality (full-host vs device-close chain)
+        frame_bgr = frames[i][..., ::-1].copy()
+        ref_img, ref_det = overlay_predictions(frame_bgr, classes_host[i])
+        got_img, got_det = overlay_predictions(
+            frame_bgr, classes_dev[i], closed_road=closed[i])
+        np.testing.assert_array_equal(got_img, ref_img)
+        assert got_det == ref_det
+    # reference parity requires the close at frame resolution
+    with pytest.raises(ValueError):
+        Predictor(cfg, input_hw=(32, 64), batch_size=4,
+                  upscale_on_host=True, device_close=True)
+
+
+def test_video_pipeline_device_close(tmp_path):
+    """The full VideoPipeline drives the device_close path (unpack in
+    flush) and reports the tunnel acceptance flag."""
+    src = str(tmp_path / "in.mp4")
+    wr = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (100, 60))
+    rng = np.random.RandomState(2)
+    for _ in range(8):
+        wr.write(rng.randint(0, 255, (60, 100, 3), np.uint8))
+    wr.release()
+    pred = Predictor(
+        ModelConfig(name="unet", base_filters=4, num_classes=10),
+        input_hw=(32, 64), batch_size=4,
+        upscale_on_host=False, device_close=True,
+    )
+    stats = VideoPipeline(pred).run(src, output_path=str(tmp_path / "o.mp4"))
+    assert stats["frames"] == 8
+    assert isinstance(stats["tunnel_ok"], bool)
+
+
 def test_video_pipeline_end_to_end(tmp_path):
     # synthesize a tiny video
     src = str(tmp_path / "in.mp4")

@@ -222,6 +222,12 @@ class InferConfig:
     # reference's own cv2 INTER_NEAREST, inference.py:68-70 — bit-identical
     # to the device resize): (frame/model)-area-x fewer device->host bytes.
     upscale_on_host: bool = True
+    # run the reference's 5x5 road morph-close on device, packed into the
+    # class map's high bit (zero extra fetch bytes; cv2-bit-exact —
+    # tpuseg/ops/morphology.py); only the irregular keep-largest-CC step
+    # stays on host. Requires upscale_on_host=false (the reference closes
+    # at FRAME resolution). A/B'd on the demo bench — see BASELINE.md.
+    device_close: bool = False
     # run the model-size downscale on host with cv2 INTER_LINEAR on uint8
     # frames (byte-for-byte the reference preprocess, inference.py:28-46):
     # (frame/model)-area-x fewer host->device bytes. Off = the device fp32

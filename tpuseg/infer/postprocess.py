@@ -60,14 +60,25 @@ def _blend_lut(alpha: float) -> np.ndarray:
     return lut
 
 
-def clean_road_mask(classes: np.ndarray, kernel_size: int = 5) -> np.ndarray:
+def clean_road_mask(classes: np.ndarray, kernel_size: int = 5,
+                    closed_road: Optional[np.ndarray] = None) -> np.ndarray:
     """Morph-close the road mask, keep only its largest connected component,
-    and stamp it back into the class map (inference.py:73-110)."""
+    and stamp it back into the class map (inference.py:73-110).
+
+    ``closed_road``: the already-closed road mask (bool or 0/255 uint8) when
+    the 5x5 close ran on device (Predictor device_close,
+    tpuseg.ops.morphology — cv2-bit-exact); only the irregular CC step runs
+    here."""
     import cv2
 
-    road = (classes == ROAD_CLASS).astype(np.uint8) * 255
-    kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (kernel_size, kernel_size))
-    road = cv2.morphologyEx(road, cv2.MORPH_CLOSE, kernel)
+    if closed_road is not None:
+        road = (np.asarray(closed_road) != 0).astype(np.uint8) * 255
+    else:
+        road = (classes == ROAD_CLASS).astype(np.uint8) * 255
+        kernel = cv2.getStructuringElement(
+            cv2.MORPH_RECT, (kernel_size, kernel_size)
+        )
+        road = cv2.morphologyEx(road, cv2.MORPH_CLOSE, kernel)
     n, labels, stats, _ = cv2.connectedComponentsWithStats(
         road, connectivity=8, ltype=cv2.CV_32S
     )
@@ -236,6 +247,7 @@ def overlay_predictions(
     min_car_area: float = 300.0,
     blend_alpha: float = 0.4,
     precolored_bgr: np.ndarray = None,
+    closed_road: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, Dict[str, int]]:
     """frame [H,W,3] BGR + class map [H,W] -> (blended frame, {'cars': n}).
 
@@ -250,7 +262,7 @@ def overlay_predictions(
     the cleaned map.
     """
     if road_cleanup:
-        cleaned = clean_road_mask(classes)
+        cleaned = clean_road_mask(classes, closed_road=closed_road)
     else:
         cleaned = classes
     if precolored_bgr is None:

@@ -95,6 +95,7 @@ class Predictor:
         colorize_on_device: bool = False,
         upscale_on_host: bool = True,
         preprocess_on_host: bool = False,
+        device_close: bool = False,
         mesh=None,
         normalize_mean=None,
         normalize_std=None,
@@ -155,6 +156,16 @@ class Predictor:
                 "artifact serving is single-chip: the exported computation "
                 "carries no sharding annotations for GSPMD to partition"
             )
+        if device_close and upscale_on_host:
+            # The reference closes the road mask at FRAME resolution
+            # (inference.py:76-83, after the nearest upscale); a close at
+            # model resolution then upscaled is a ~(frame/model)x larger
+            # effective kernel — not reference parity.
+            raise ValueError(
+                "device_close runs the 5x5 morph-close at the device "
+                "program's output resolution; pass upscale_on_host=False "
+                "so that is the frame resolution (reference parity)"
+            )
         self.model = build_model(model_cfg)
         self.mesh = mesh
         self.artifact_call = None
@@ -175,6 +186,13 @@ class Predictor:
         self.colorize_on_device = colorize_on_device or model_cfg.use_pallas
         self.upscale_on_host = upscale_on_host
         self.preprocess_on_host = preprocess_on_host
+        # Pack the 5x5 road morph-close (tpuseg.ops.morphology, cv2-exact)
+        # into the class map's unused high bit before the fetch — zero extra
+        # tunnel bytes; the host unpacks and keeps only the CC step
+        # (clean_road_mask closed_road=). Class ids are a 10-way argmax and
+        # the stroke id 254 is only stamped host-side AFTER unpack, so bit
+        # 0x80 cannot collide.
+        self.device_close = device_close
         # Must match training normalization (DataConfig.normalize_mean/std)
         # or the served model sees mis-normalized inputs — train/serve skew.
         from tpuseg.data.class_maps import IMAGENET_MEAN, IMAGENET_STD
@@ -236,6 +254,17 @@ class Predictor:
         colorize = self.colorize_on_device
         int8 = self.int8
 
+        def pack_close(classes):
+            if not self.device_close:
+                return classes
+            from tpuseg.infer.postprocess import ROAD_CLASS
+            from tpuseg.ops.morphology import morph_close
+
+            closed = morph_close(classes == ROAD_CLASS, 5)
+            return classes | jnp.where(
+                closed, jnp.uint8(0x80), jnp.uint8(0)
+            )
+
         def run(variables, frames):
             x = frames.astype(jnp.float32)
             if frames.shape[1:3] != (mh, mw):
@@ -261,17 +290,17 @@ class Predictor:
 
                 classes, packed = argmax_colorize(logits, COLOR_MAP_BGR)
                 if (fh, fw) == (mh, mw):  # host upscales after the fetch
-                    return classes, packed
+                    return pack_close(classes), packed
                 # nearest upscale commutes with the palette lookup
                 return (
-                    resize_nearest(classes, fh, fw),
+                    pack_close(resize_nearest(classes, fh, fw)),
                     resize_nearest(packed, fh, fw),
                 )
             classes = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
             if (fh, fw) == (mh, mw):
-                return classes
+                return pack_close(classes)
             # nearest upscale back to frame size (inference.py:68-70)
-            return resize_nearest(classes, fh, fw)
+            return pack_close(resize_nearest(classes, fh, fw))
 
         if self.mesh is None:
             run = jax.jit(run)

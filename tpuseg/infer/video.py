@@ -212,12 +212,22 @@ class VideoPipeline:
                 if colorized:
                     packed = upscale_nearest_host(packed, fh, fw)
                 phases["post"] += time.perf_counter() - t
+            closed = None
+            if self.predictor.device_close:
+                # the device packed the 5x5 road morph-close into the class
+                # map's high bit (zero extra fetch bytes); split it out so
+                # the host postprocess keeps only the CC step
+                t = time.perf_counter()
+                closed = classes >= 0x80
+                classes = classes & 0x7F
+                phases["post"] += time.perf_counter() - t
             for i in range(n_valid):
                 t = time.perf_counter()
                 result, det = overlay_predictions(
                     frames_bgr[i],
                     classes[i],
                     precolored_bgr=unpack_colors(packed[i]) if colorized else None,
+                    closed_road=closed[i] if closed is not None else None,
                     **self.post_kwargs,
                 )
                 phases["post"] += time.perf_counter() - t
@@ -274,6 +284,14 @@ class VideoPipeline:
         stats["seconds"] = dt
         stats["fps"] = stats["frames"] / dt if dt > 0 else 0.0
         stats["phases"] = {k: round(v, 3) for k, v in phases.items()}
+        # Tunnel-state acceptance criterion for recorded headlines: with the
+        # async device->host copies, a healthy tunnel hides the fetch
+        # entirely (fetch_wait ~1 ms/run, DESIGN §19) while a degraded one
+        # shows up here first (0.84 s measured on the same program,
+        # BASELINE.md 92-260 fps spread). A number from a run with
+        # tunnel_ok=false is the tunnel's, not the pipeline's — re-run or
+        # annotate (VERDICT r2 weak item 4).
+        stats["tunnel_ok"] = phases["fetch_wait"] <= max(0.05 * dt, 0.05)
         return stats
 
     def stream(self, frames_bgr: Iterator[np.ndarray]):
