@@ -125,6 +125,69 @@ def test_overlay_and_car_header(server):
     assert int(r.headers["X-Cars"]) >= 0
 
 
+def test_raw_upload_and_raw_response(server):
+    """Codec-wall bypass: raw octet-stream upload (X-Shape) and format=raw
+    responses carry the same pixels as the PNG round trip."""
+    import cv2
+
+    base, state = server
+    frame_bgr, png = _png_frame(seed=11)
+    with _post(base + "/predict", png) as r:
+        ref_mask = cv2.imdecode(
+            np.frombuffer(r.read(), np.uint8), cv2.IMREAD_UNCHANGED
+        )
+    h, w = frame_bgr.shape[:2]
+    headers = {"Content-Type": "application/octet-stream",
+               "X-Shape": f"{h},{w},3"}
+    with _post(base + "/predict?format=raw", frame_bgr.tobytes(),
+               headers) as r:
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        shape = tuple(int(v) for v in r.headers["X-Shape"].split(","))
+        raw_mask = np.frombuffer(r.read(), np.uint8).reshape(shape)
+    np.testing.assert_array_equal(raw_mask, ref_mask)
+    # rgb upload declares itself via X-Pixel-Format
+    rgb = frame_bgr[..., ::-1].copy()
+    headers_rgb = dict(headers, **{"X-Pixel-Format": "rgb"})
+    with _post(base + "/predict?format=raw", rgb.tobytes(),
+               headers_rgb) as r:
+        shape = tuple(int(v) for v in r.headers["X-Shape"].split(","))
+        rgb_mask = np.frombuffer(r.read(), np.uint8).reshape(shape)
+    np.testing.assert_array_equal(rgb_mask, ref_mask)
+    # a bad shape header is a 400, not a crash
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict", frame_bgr.tobytes(),
+              {"Content-Type": "application/octet-stream",
+               "X-Shape": "nope"})
+    assert e.value.code == 400
+
+
+def test_overlay_jpeg_and_raw_formats(server):
+    import cv2
+
+    base, _ = server
+    frame_bgr, png = _png_frame(seed=12)
+    with _post(base + "/overlay", png) as r:
+        ref = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                           cv2.IMREAD_COLOR)
+    with _post(base + "/overlay?format=raw", png) as r:
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        shape = tuple(int(v) for v in r.headers["X-Shape"].split(","))
+        raw = np.frombuffer(r.read(), np.uint8).reshape(shape)
+    np.testing.assert_array_equal(raw, ref)  # raw == png-decoded, bit-exact
+    with _post(base + "/overlay?format=jpeg&quality=80", png) as r:
+        assert r.headers["Content-Type"] == "image/jpeg"
+        jpg = cv2.imdecode(np.frombuffer(r.read(), np.uint8),
+                           cv2.IMREAD_COLOR)
+    assert jpg.shape == ref.shape  # lossy but decodable at the right size
+    # lossy class masks are refused
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/predict?format=jpeg", png)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/overlay?format=bmp", png)
+    assert e.value.code == 400
+
+
 def test_bad_body_and_unknown_path(server):
     base, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:

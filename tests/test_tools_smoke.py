@@ -95,6 +95,28 @@ def test_eval_quantized_smoke(monkeypatch, capsys, tmp_path):
     assert "int8" in out or "fp16" in out
 
 
+def test_serve_bench_smoke(monkeypatch, capsys, tmp_path):
+    """The serving-concurrency benchmark boots the real server and reports
+    req/s + percentiles for a (upload, format) configuration."""
+    pytest.importorskip("cv2")
+    rc = _run_tool(
+        "serve_bench",
+        ["--model", "unet", "--base_filters", "4",
+         "--width", "64", "--height", "32",
+         "--upload_width", "100", "--upload_height", "60",
+         "--clients", "2", "--requests", "2", "--max_batch", "2",
+         "--upload", "raw", "--format", "raw"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    rec = json.loads(
+        [l for l in capsys.readouterr().out.splitlines()
+         if l.startswith("{")][-1]
+    )
+    assert rec["n"] == 4 and rec["failures"] == 0
+    assert rec["req_per_s"] > 0 and rec["p90_ms"] >= rec["p50_ms"]
+
+
 def test_make_demo_video_smoke(capsys, tmp_path):
     """The demo-clip generator writes a decodable mp4 with the requested
     geometry (the zero-downloads input for `python inference.py`)."""

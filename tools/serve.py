@@ -23,10 +23,20 @@ Endpoints:
     POST /predict              PNG uint8 class-id mask (image/png) at the
                                uploaded image's own size
     POST /predict?format=json  {"shape", "class_pixel_counts"}
+    POST /predict?format=raw   octet-stream mask bytes + X-Shape header
+                               (no host codec work; jpeg is refused — lossy
+                               codecs corrupt class ids)
     POST /overlay              blended overlay PNG — road cleanup, car boxes
                                + distance labels, 0.6/0.4 blend (bitwise the
                                reference's inference.py:48-146 semantics);
                                car count in the X-Cars response header
+    POST /overlay?format=jpeg[&quality=N]   lossy overlay (default q=90)
+    POST /overlay?format=raw   octet-stream BGR bytes + X-Shape
+
+Raw upload (codec-wall bypass on both directions, DESIGN §35: the 1-core
+host's PNG codec is the concurrency ceiling): POST the pixel bytes with
+Content-Type: application/octet-stream, X-Shape: "H,W,3" and optional
+X-Pixel-Format: rgb|bgr (default bgr) — no cv2.imdecode on the server.
 
 Request batching (``--max_batch N --batch_wait_ms W``, off at the default
 N=1): concurrent requests coalesce into ONE device dispatch — a collator
@@ -250,10 +260,50 @@ def _make_handler(state: _State):
             if length <= 0:
                 return None
             raw = self.rfile.read(length)
+            # Raw-RGB upload path (codec-wall bypass, DESIGN §35: the 1-core
+            # host's image codec is the serving ceiling): octet-stream body
+            # + X-Shape "H,W,3" skips cv2.imdecode entirely. X-Pixel-Format
+            # rgb|bgr (default bgr, matching what imdecode would produce).
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype == "application/octet-stream":
+                shape = self.headers.get("X-Shape", "")
+                try:
+                    h, w, c = (int(v) for v in shape.split(","))
+                except ValueError:
+                    return None
+                if c != 3 or h * w * c != len(raw):
+                    return None
+                frame = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+                if (self.headers.get("X-Pixel-Format", "bgr").lower()
+                        == "rgb"):
+                    frame = frame[..., ::-1]
+                return np.ascontiguousarray(frame)
             frame_bgr = cv2.imdecode(
                 np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR
             )
             return frame_bgr  # None if undecodable
+
+        def _encode(self, img: np.ndarray, fmt: str, quality: int):
+            """Encode a response image: png (default) | jpeg | raw.
+
+            Returns (bytes, content_type, extra_headers) or None on an
+            unknown format. raw = the array's own bytes + X-Shape, zero
+            codec work — the other end of the codec wall."""
+            if fmt == "png":
+                ok, buf = cv2.imencode(".png", img)
+                return buf.tobytes(), "image/png", ()
+            if fmt in ("jpg", "jpeg"):
+                ok, buf = cv2.imencode(
+                    ".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, quality]
+                )
+                return buf.tobytes(), "image/jpeg", ()
+            if fmt == "raw":
+                return (
+                    np.ascontiguousarray(img).tobytes(),
+                    "application/octet-stream",
+                    (("X-Shape", ",".join(str(s) for s in img.shape)),),
+                )
+            return None
 
         def do_POST(self):
             url = urlparse(self.path)
@@ -291,8 +341,10 @@ def _make_handler(state: _State):
                 from tpuseg.infer.predictor import upscale_nearest_host
 
                 classes = upscale_nearest_host(classes[None], fh, fw)[0]
+            qs = parse_qs(url.query)
+            fmt = qs.get("format", ["png"])[0]
+            quality = int(qs.get("quality", ["90"])[0])
             if url.path == "/predict":
-                fmt = parse_qs(url.query).get("format", ["png"])[0]
                 if fmt == "json":
                     counts = np.bincount(
                         classes.reshape(-1), minlength=state.num_classes
@@ -301,16 +353,28 @@ def _make_handler(state: _State):
                         "shape": list(classes.shape),
                         "class_pixel_counts": counts.tolist(),
                     })
-                ok, png = cv2.imencode(".png", classes)
-                return self._send(200, png.tobytes(), "image/png")
+                if fmt in ("jpg", "jpeg"):
+                    # lossy codecs corrupt class IDS — refuse rather than
+                    # silently return wrong labels
+                    return self._send_json(400, {
+                        "error": "jpeg is lossy; class masks support "
+                                 "format=png|raw|json"})
+                enc = self._encode(classes, fmt, quality)
+                if enc is None:
+                    return self._send_json(
+                        400, {"error": f"unknown format {fmt!r}"})
+                return self._send(200, enc[0], enc[1], extra=enc[2])
             # /overlay: the reference's full postprocess semantics
             from tpuseg.infer.postprocess import overlay_predictions
 
             blended, detected = overlay_predictions(frame_bgr, classes)
-            ok, png = cv2.imencode(".png", blended)
+            enc = self._encode(blended, fmt, quality)
+            if enc is None:
+                return self._send_json(
+                    400, {"error": f"unknown format {fmt!r}"})
             return self._send(
-                200, png.tobytes(), "image/png",
-                extra=(("X-Cars", str(detected.get("cars", 0))),),
+                200, enc[0], enc[1],
+                extra=(("X-Cars", str(detected.get("cars", 0))),) + enc[2],
             )
 
         def log_message(self, fmt, *fmt_args):  # one quiet line per request
