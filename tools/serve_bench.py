@@ -70,6 +70,12 @@ def main(argv=None) -> int:
     p.add_argument("--format", default="png",
                    choices=["png", "jpeg", "raw", "json"])
     p.add_argument("--quality", type=int, default=90)
+    p.add_argument("--sweep", default="",
+                   help="comma-separated upload:endpoint:format[:quality] "
+                        "specs benchmarked against ONE server boot (each "
+                        "boot is a TPU client cycle — CLAUDE.md spacing "
+                        "hazard); prints one JSON line with a rows list. "
+                        "Overrides --upload/--endpoint/--format/--quality.")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -94,80 +100,101 @@ def main(argv=None) -> int:
     host, port = httpd.server_address[:2]
     base = f"http://{host}:{port}"
 
-    # one upload body shared by every request (the clients' encode cost is
+    # one upload frame shared by every request (the clients' encode cost is
     # not the server's wall; §35's protocol also reused one 720p PNG)
     rng = np.random.RandomState(0)
     frame = rng.randint(
         0, 255, (args.upload_height, args.upload_width, 3), np.uint8
     )
-    if args.upload == "png":
-        ok, buf = cv2.imencode(".png", frame)
-        body, headers = buf.tobytes(), {}
-    else:
-        body = frame.tobytes()
-        headers = {"Content-Type": "application/octet-stream",
-                   "X-Shape": f"{frame.shape[0]},{frame.shape[1]},3"}
-    url = f"{base}/{args.endpoint}?format={args.format}"
-    if args.format == "jpeg":
-        url += f"&quality={args.quality}"
+    ok, png_buf = cv2.imencode(".png", frame)
+    bodies = {
+        "png": (png_buf.tobytes(), {}),
+        "raw": (frame.tobytes(),
+                {"Content-Type": "application/octet-stream",
+                 "X-Shape": f"{frame.shape[0]},{frame.shape[1]},3"}),
+    }
 
-    def one_request():
-        req = urllib.request.Request(url, data=body, headers=headers)
-        with urllib.request.urlopen(req, timeout=600) as r:
-            return len(r.read())
+    def run_config(upload, endpoint, fmt, quality):
+        body, headers = bodies[upload]
+        url = f"{base}/{endpoint}?format={fmt}"
+        if fmt == "jpeg":
+            url += f"&quality={quality}"
 
-    one_request()  # settle any lazy first-touch cost outside the clock
+        def one_request():
+            req = urllib.request.Request(url, data=body, headers=headers)
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return len(r.read())
 
-    lat = []
-    down = [0]
-    failures = [0]
-    lock = threading.Lock()
+        one_request()  # settle lazy first-touch cost outside the clock
 
-    def client():
-        for _ in range(args.requests):
-            t = time.perf_counter()
-            try:
-                nbytes = one_request()
-            except Exception:
+        lat = []
+        down = [0]
+        failures = [0]
+        lock = threading.Lock()
+
+        def client():
+            for _ in range(args.requests):
+                t = time.perf_counter()
+                try:
+                    nbytes = one_request()
+                except Exception:
+                    with lock:
+                        failures[0] += 1
+                    continue
+                dt = time.perf_counter() - t
                 with lock:
-                    failures[0] += 1
-                continue
-            dt = time.perf_counter() - t
-            with lock:
-                lat.append(dt)
-                down[0] += nbytes
+                    lat.append(dt)
+                    down[0] += nbytes
 
-    threads = [threading.Thread(target=client) for _ in range(args.clients)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    httpd.shutdown()
-    httpd.server_close()
+        threads = [threading.Thread(target=client)
+                   for _ in range(args.clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        lat.sort()
+        n = len(lat)
+        return {
+            "req_per_s": round(n / wall, 2) if wall > 0 else 0.0,
+            "p50_ms": round(lat[n // 2] * 1e3, 1) if n else None,
+            "p90_ms": (round(lat[min(n - 1, int(n * 0.9))] * 1e3, 1)
+                       if n else None),
+            "n": n,
+            "failures": failures[0],
+            "bytes_up": len(body),
+            "bytes_down": down[0] // max(n, 1),
+            "upload": upload,
+            "endpoint": endpoint,
+            "format": fmt,
+            "quality": quality if fmt == "jpeg" else None,
+        }
 
-    lat.sort()
-    n = len(lat)
-    rec = {
+    common = {
         "metric": "serve_concurrency",
-        "req_per_s": round(n / wall, 2) if wall > 0 else 0.0,
-        "p50_ms": round(lat[n // 2] * 1e3, 1) if n else None,
-        "p90_ms": round(lat[min(n - 1, int(n * 0.9))] * 1e3, 1) if n else None,
-        "n": n,
-        "failures": failures[0],
-        "bytes_up": len(body),
-        "bytes_down": down[0] // max(n, 1),
         "clients": args.clients,
-        "upload": args.upload,
-        "endpoint": args.endpoint,
-        "format": args.format,
-        "quality": args.quality if args.format == "jpeg" else None,
+        "requests_per_client": args.requests,
         "max_batch": args.max_batch,
         "upload_hw": [args.upload_height, args.upload_width],
     }
+    if args.sweep:
+        rows = []
+        for spec in args.sweep.split(","):
+            parts = spec.strip().split(":")
+            upload, endpoint, fmt = parts[:3]
+            quality = int(parts[3]) if len(parts) > 3 else args.quality
+            rows.append(run_config(upload, endpoint, fmt, quality))
+        rec = {**common, "rows": rows}
+        bad = sum(r["failures"] for r in rows)
+    else:
+        rec = {**common, **run_config(args.upload, args.endpoint,
+                                      args.format, args.quality)}
+        bad = rec["failures"]
+    httpd.shutdown()
+    httpd.server_close()
     print(json.dumps(rec))
-    return 0 if failures[0] == 0 else 1
+    return 0 if bad == 0 else 1
 
 
 if __name__ == "__main__":
