@@ -20,6 +20,7 @@ from tpuseg.train.loss import (
     cross_entropy_loss,
     dice_loss,
     focal_loss,
+    lovasz_softmax_loss,
     make_loss_fn,
 )
 
@@ -140,6 +141,78 @@ def test_dice_gradient_finite():
         lambda l: dice_loss(l, jnp.asarray(targets))
     )(jnp.asarray(logits))
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def _lovasz_ref(logits, targets, ignore=None):
+    """Literal float64 transcription of Berman et al. 2018 (flatten-batch,
+    classes='present'): per class, sort |fg - p_c| descending, dot with the
+    gradient of the Lovász extension of the Jaccard loss. The oracle for
+    tpuseg.train.loss.lovasz_softmax_loss, including its error-0 trick for
+    ignore_index (the published version filters the pixels out instead)."""
+    x = logits.astype(np.float64)
+    x = x - x.max(-1, keepdims=True)
+    p = np.exp(x)
+    p /= p.sum(-1, keepdims=True)
+    c = p.shape[-1]
+    probs = p.reshape(-1, c)
+    labels = targets.reshape(-1)
+    if ignore is not None:
+        keep = labels != ignore
+        probs, labels = probs[keep], labels[keep]
+    losses = []
+    for k in range(c):
+        fg = (labels == k).astype(np.float64)
+        if fg.sum() == 0:
+            continue
+        errors = np.abs(fg - probs[:, k])
+        order = np.argsort(-errors, kind="stable")
+        e, f = errors[order], fg[order]
+        gts = f.sum()
+        inter = gts - np.cumsum(f)
+        union = gts + np.cumsum(1.0 - f)
+        jac = 1.0 - inter / union
+        jac[1:] = jac[1:] - jac[:-1]
+        losses.append(float((e * jac).sum()))
+    return float(np.mean(losses))
+
+
+@pytest.mark.parametrize("ignore", [None, 255])
+def test_lovasz_matches_reference_transcription(ignore):
+    logits, targets = _case(seed=8, ignore_at=ignore)
+    # make one class absent so classes='present' actually filters
+    targets[targets == C - 1] = 0
+    ref = _lovasz_ref(logits, targets, ignore=ignore)
+    got = float(
+        lovasz_softmax_loss(
+            jnp.asarray(logits), jnp.asarray(targets), ignore_index=ignore
+        )
+    )
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_lovasz_perfect_prediction_near_zero():
+    _, targets = _case(seed=9)
+    onehot = np.eye(C, dtype=np.float32)[targets]
+    logits = onehot * 80.0  # softmax ~ one-hot
+    loss = float(lovasz_softmax_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    assert loss == pytest.approx(0.0, abs=1e-3)
+
+
+def test_lovasz_gradient_finite():
+    logits, targets = _case(seed=10)
+    g = jax.grad(
+        lambda l: lovasz_softmax_loss(l, jnp.asarray(targets))
+    )(jnp.asarray(logits))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_make_loss_fn_ce_lovasz_mix():
+    logits, targets = _case(seed=11)
+    l, t = jnp.asarray(logits), jnp.asarray(targets)
+    combo = make_loss_fn("ce+lovasz", dice_weight=0.25)(l, t)
+    ce = cross_entropy_loss(l, t)
+    lv = lovasz_softmax_loss(l, t)
+    assert float(combo) == pytest.approx(float(0.75 * ce + 0.25 * lv), rel=1e-6)
 
 
 def test_make_loss_fn_ce_dice_mix():

@@ -117,7 +117,8 @@ class TrainConfig:
     weight_decay: float = 1e-4           # adamw only
     momentum: float = 0.9                # sgd only
     # Loss selection (reference: plain CrossEntropyLoss, main.py:99).
-    # "ce" | "focal" | "dice" | "ce+dice" (tpuseg.train.loss.make_loss_fn).
+    # "ce" | "focal" | "dice" | "ce+dice" | "lovasz" | "ce+lovasz"
+    # (tpuseg.train.loss.make_loss_fn).
     loss: str = "ce"
     # Per-class CE/focal weights for the road-scene class imbalance: empty
     # tuple = unweighted; else exactly num_classes floats
@@ -125,7 +126,7 @@ class TrainConfig:
     class_weights: Tuple[float, ...] = ()
     label_smoothing: float = 0.0         # torch label_smoothing= semantics
     focal_gamma: float = 2.0             # focal only
-    dice_weight: float = 0.5             # ce+dice mix: (1-w)*CE + w*Dice
+    dice_weight: float = 0.5             # ce+dice / ce+lovasz mix weight
     # Target value excluded from loss + its denominator (torch ignore_index;
     # e.g. 255 for void pixels). Negative = off (all 0..C-1 targets count).
     ignore_index: int = -1

@@ -146,6 +146,60 @@ def dice_loss(
     return 1.0 - jnp.mean(dice)
 
 
+def lovasz_softmax_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    ignore_index: Optional[int] = None,
+) -> jnp.ndarray:
+    """Lovász-softmax loss (Berman et al., CVPR 2018), classes="present".
+
+    The other differentiable IoU surrogate besides :func:`dice_loss`: for
+    each class, pixel errors ``|1{y=c} - p_c|`` are sorted descending and
+    dotted with the gradient of the Lovász extension of the Jaccard loss,
+    yielding a piecewise-linear tight surrogate of ``1 - IoU_c``. Averaged
+    over classes present in the batch (absent classes contribute nothing —
+    matching the eval metric's absent-class exclusion in
+    tpuseg/train/metrics.py). Flattens the whole batch per class (the
+    batch-level convention, like :func:`dice_loss`).
+
+    TPU shape: one ``lax.sort_key_val`` over [C, B*H*W] — static shapes,
+    no data-dependent control flow; the sort is the only non-elementwise
+    op and XLA batches it over the class dimension. ``ignore_index``
+    pixels get error 0 / label 0: they sort to the tail, where every
+    contribution is multiplied by a zero error, and they never enter any
+    prefix cumsum ahead of a positive error — exactly equivalent to
+    removing them (tests/test_loss.py pins this against a literal
+    transcription of the published algorithm).
+    """
+    logp, onehot, dtype = _prep(logits, targets)
+    probs = jnp.exp(logp)
+    c = logits.shape[-1]
+    fg = jnp.reshape(onehot, (-1, c)).T          # [C, P]
+    pr = jnp.reshape(probs, (-1, c)).T           # [C, P]
+    errors = jnp.abs(fg - pr)
+    if ignore_index is not None:
+        valid = (targets != ignore_index).astype(dtype).reshape(1, -1)
+        fg = fg * valid
+        errors = errors * valid
+    # descending sort of errors, carrying the labels: negate the keys.
+    neg_sorted, fg_sorted = jax.lax.sort_key_val(
+        -errors, fg, dimension=-1
+    )
+    errors_sorted = -neg_sorted
+    gts = jnp.sum(fg_sorted, axis=-1, keepdims=True)        # [C, 1]
+    intersection = gts - jnp.cumsum(fg_sorted, axis=-1)     # [C, P]
+    union = gts + jnp.cumsum(1.0 - fg_sorted, axis=-1)
+    jaccard = 1.0 - intersection / union
+    grad = jnp.concatenate(
+        [jaccard[:, :1], jaccard[:, 1:] - jaccard[:, :-1]], axis=-1
+    )
+    per_class = jnp.sum(errors_sorted * grad, axis=-1)      # [C]
+    present = (gts[:, 0] > 0).astype(dtype)
+    return jnp.sum(per_class * present) / jnp.maximum(
+        jnp.sum(present), 1.0
+    )
+
+
 def make_loss_fn(
     name: str = "ce",
     class_weights: Optional[Sequence[float]] = None,
@@ -156,8 +210,9 @@ def make_loss_fn(
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Config-driven loss factory: (logits [B,H,W,C], targets [B,H,W]) -> scalar.
 
-    ``name``: "ce" | "focal" | "dice" | "ce+dice" (the last is
-    ``(1-dice_weight)*CE + dice_weight*Dice``, the common segmentation combo).
+    ``name``: "ce" | "focal" | "dice" | "ce+dice" | "lovasz" | "ce+lovasz"
+    (the combos are ``(1-dice_weight)*CE + dice_weight*<surrogate>``, the
+    common segmentation mixes; ``dice_weight`` weights either surrogate).
     ``class_weights`` is baked in as a compile-time constant (a [C] vector —
     no retrace cost, no extra step argument).
     """
@@ -189,8 +244,25 @@ def make_loss_fn(
             )
             dc = dice_loss(logits, targets, ignore_index=ignore_index)
             return (1.0 - dw) * ce + dw * dc
+    elif name == "lovasz":
+        def fn(logits, targets):
+            return lovasz_softmax_loss(
+                logits, targets, ignore_index=ignore_index
+            )
+    elif name in ("ce+lovasz", "lovasz+ce"):
+        dw = float(dice_weight)
+        def fn(logits, targets):
+            ce = cross_entropy_loss(
+                logits, targets, class_weights=w,
+                label_smoothing=label_smoothing, ignore_index=ignore_index,
+            )
+            lv = lovasz_softmax_loss(
+                logits, targets, ignore_index=ignore_index
+            )
+            return (1.0 - dw) * ce + dw * lv
     else:
         raise ValueError(
-            f"unknown loss {name!r}: expected ce|focal|dice|ce+dice"
+            f"unknown loss {name!r}: expected "
+            "ce|focal|dice|ce+dice|lovasz|ce+lovasz"
         )
     return fn
