@@ -233,11 +233,32 @@ def test_losses_under_jit_and_bf16():
     logits, targets = _case(seed=7)
     lb = jnp.asarray(logits, jnp.bfloat16)
     t = jnp.asarray(targets)
-    for name in ("ce", "focal", "dice", "ce+dice"):
+    for name in ("ce", "focal", "dice", "ce+dice", "lovasz", "ce+lovasz"):
         fn = jax.jit(make_loss_fn(name, class_weights=None))
         v = fn(lb, t)
         assert v.dtype == jnp.float32  # bf16 promoted inside
         assert bool(jnp.isfinite(v))
+
+
+def test_make_loss_fn_rejects_unhonorable_knobs():
+    # Pure IoU surrogates have no NLL term: weights/smoothing must refuse,
+    # not silently drop (ADVICE r3; the ce+ mixes honor both in the CE term).
+    for name in ("dice", "lovasz"):
+        with pytest.raises(ValueError, match="class_weights"):
+            make_loss_fn(name, class_weights=(1.0, 2.0, 1.0, 0.5))
+        with pytest.raises(ValueError, match="label_smoothing"):
+            make_loss_fn(name, label_smoothing=0.1)
+    with pytest.raises(ValueError, match="label-smoothing"):
+        make_loss_fn("focal", label_smoothing=0.1)
+    # the mixes accept them
+    logits, targets = _case(seed=12)
+    l, t = jnp.asarray(logits), jnp.asarray(targets)
+    cw = tuple(float(i % 3 + 1) for i in range(C))
+    for name in ("ce+dice", "ce+lovasz"):
+        v = make_loss_fn(name, class_weights=cw, label_smoothing=0.05)(l, t)
+        assert bool(jnp.isfinite(v))
+    # focal keeps taking class_weights (its alpha term)
+    assert bool(jnp.isfinite(make_loss_fn("focal", class_weights=cw)(l, t)))
 
 
 def test_train_step_with_configured_loss_decreases():

@@ -220,6 +220,29 @@ def make_loss_fn(
         class_weights, jnp.float32
     )
     name = (name or "ce").lower()
+    # The pure IoU surrogates have no per-pixel NLL term, so there is
+    # nothing for class_weights/label_smoothing to act on; focal has no
+    # smoothing term. Silently dropping them would hand a user the exact
+    # imbalance remedy they asked for (weights: +8.2 mIoU pts in their
+    # regime, docs/DESIGN.md §38) without applying it — refuse instead.
+    # The ce+ mixes DO honor both (in the CE term).
+    if name in ("dice", "lovasz"):
+        if w is not None:
+            raise ValueError(
+                f"loss {name!r} has no cross-entropy term and cannot honor "
+                "class_weights; use 'ce+" + name + "' (weights apply to the "
+                "CE term) or drop --train.class_weights"
+            )
+        if label_smoothing:
+            raise ValueError(
+                f"loss {name!r} cannot honor label_smoothing; use "
+                "'ce+" + name + "' or drop --train.label_smoothing"
+            )
+    if name == "focal" and label_smoothing:
+        raise ValueError(
+            "loss 'focal' has no label-smoothing term; drop "
+            "--train.label_smoothing (focal's alpha term is class_weights)"
+        )
     if name == "ce":
         def fn(logits, targets):
             return cross_entropy_loss(
