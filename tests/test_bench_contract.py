@@ -136,6 +136,66 @@ def test_watchdog_stale_fallback_is_per_metric(monkeypatch, tmp_path):
     assert rec3["value"] == 0.0  # never borrows another size's number
 
 
+def test_phases_in_record_and_stall_flag(monkeypatch):
+    """VERDICT r3 item 2: phase timings live INSIDE the parsed record, and a
+    slow backend_connect is flagged init_stalled (BENCH_r03's 681 s init
+    stall was visible only in the stderr tail)."""
+    m = _load(monkeypatch)
+    rec = m._record({"fps": 1000.0, "phases": {
+        "imports": 12.0, "backend_connect": 3.0, "init": 4.0}})
+    assert rec["phases"]["backend_connect"] == 3.0
+    assert rec["init_stalled"] is False
+    rec2 = m._record({"fps": 1000.0, "phases": {
+        "imports": 12.0, "backend_connect": 681.3}})
+    assert rec2["init_stalled"] is True
+
+
+def test_parent_retries_on_init_stall(monkeypatch, tmp_path, capfd):
+    """A child that reports its imports phase but never backend_connect is
+    the DESIGN §37 blocked-client state: the parent must abandon it and
+    retry in a fresh child, and the fallback record must carry
+    init_retries. Simulated with a fake child that stalls forever (cpu
+    platform, so abandoned children are reaped)."""
+    import subprocess as sp
+
+    stall_child = tmp_path / "stall_child.py"
+    stall_child.write_text(
+        "import os, time\n"
+        "p = os.environ['TPUSEG_BENCH_PROGRESS']\n"
+        "open(p, 'a').write('PHASE imports 1.0\\n')\n"
+        "time.sleep(300)\n"
+    )
+    hist = tmp_path / "hist.json"
+    hist.write_text(json.dumps(
+        {"metric": "mobilenetv2_unet_infer_512x512_fps_per_chip",
+         "value": 1234.5, "batch": 256, "size": "512x512",
+         "config": {"bf16_head": True, "batch": 256, "size": "512x512"}},
+    ) + "\n")
+    m = _load(
+        monkeypatch,
+        TPUSEG_BENCH_PLATFORM="cpu",
+        TPUSEG_BENCH_HISTORY=str(hist),
+        TPUSEG_BENCH_TIMEOUT="16",
+        TPUSEG_BENCH_INIT_TIMEOUT="0",   # stall fires 10 s after imports
+        TPUSEG_BENCH_RETRY_SPACING="0",
+    )
+    spawned = []
+    real_popen = sp.Popen
+
+    def fake_popen(cmd, **kw):
+        spawned.append(cmd)
+        return real_popen([sys.executable, str(stall_child)], **kw)
+
+    monkeypatch.setattr(sp, "Popen", fake_popen)
+    m.main()
+    out = capfd.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert len(spawned) == 2          # original + one retry
+    assert rec["init_retries"] == 1
+    assert rec["stale"] is True
+    assert rec["value"] == 1234.5     # per-config stale fallback still works
+
+
 def test_train_bench_tool_smoke(monkeypatch, capsys, tmp_path):
     """tools/train_bench.py drives end-to-end on CPU at tiny shapes, prints
     one JSON record, and does NOT append history from a cpu run (guards the
