@@ -310,3 +310,37 @@ def test_class_stats_tool(monkeypatch, capsys, tmp_path):
 
     cfg = load_config([rec["flag"]])
     assert len(cfg.train.class_weights) == 10
+
+
+def test_first_contact_chain_end_to_end(monkeypatch, capsys, tmp_path):
+    """The README first-contact checklist as one command (VERDICT r3 item
+    6): exporter fixture -> reader smoke -> class stats -> train -> eval ->
+    int8 gate -> TTA, each with a recorded PASS, on CPU at tiny shapes.
+    When real BDD100K data lands, this chain is the rehearsed path."""
+    out = tmp_path / "bdd"
+    rc = _run_tool(
+        "export_synthetic_dataset",
+        ["--out", str(out), "--num", "24", "--width", "64", "--height", "32"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    ckpt = tmp_path / "fc_ckpt"
+    rc = _run_tool(
+        "first_contact",
+        ["--data_dir", str(out), "--checkpoint_dir", str(ckpt),
+         "--model", "unet", "--base_filters", "8",
+         "--width", "64", "--height", "32", "--batch", "8",
+         "--epochs", "2", "--smoke_limit", "8", "--loss", "ce+dice"],
+        monkeypatch, tmp_path,
+    )
+    text = capsys.readouterr().out
+    rec = json.loads(text.strip().splitlines()[-1])
+    assert rc == 0, text
+    fc = rec["first_contact"]
+    for step in ("1-reader-smoke", "2-class-stats", "4-train",
+                 "5-north-star", "6-int8-gate", "7-tta"):
+        assert fc[step]["status"] == "PASS", (step, fc)
+    assert fc["3-import-pth"]["status"] == "SKIP"  # no .pth in-image
+    assert rec["ok"] is True and "miou" in rec
+    assert (ckpt / "best").is_dir()
