@@ -63,6 +63,10 @@ def main(argv=None) -> int:
     p.add_argument("--requests", type=int, default=8,
                    help="requests per client")
     p.add_argument("--upload", default="png", choices=["png", "raw"])
+    p.add_argument("--frame", default="noise", choices=["noise", "road"],
+                   help="test frame content: 'noise' (incompressible — the "
+                        "§40 worst case) or 'road' (realistic synthetic "
+                        "scene, PNG-compressible like production footage)")
     p.add_argument("--upload_width", type=int, default=1280)
     p.add_argument("--upload_height", type=int, default=720)
     p.add_argument("--endpoint", default="predict",
@@ -101,11 +105,23 @@ def main(argv=None) -> int:
     base = f"http://{host}:{port}"
 
     # one upload frame shared by every request (the clients' encode cost is
-    # not the server's wall; §35's protocol also reused one 720p PNG)
-    rng = np.random.RandomState(0)
-    frame = rng.randint(
-        0, 255, (args.upload_height, args.upload_width, 3), np.uint8
-    )
+    # not the server's wall; §35's protocol also reused one 720p PNG).
+    # --frame road renders a realistic synthetic road scene — random noise
+    # is PNG-incompressible, so with it the upload-codec axis isolates
+    # decode cost only and overlay-PNG cost is worst-case (the DESIGN §40
+    # caveat this flag closes).
+    if args.frame == "road":
+        from tpuseg.data.sources import SyntheticSource
+
+        frame, _ = SyntheticSource(
+            1, args.upload_width, args.upload_height, seed=11
+        ).load(0)
+        frame = np.ascontiguousarray(frame[:, :, ::-1])  # RGB -> BGR upload
+    else:
+        rng = np.random.RandomState(0)
+        frame = rng.randint(
+            0, 255, (args.upload_height, args.upload_width, 3), np.uint8
+        )
     ok, png_buf = cv2.imencode(".png", frame)
     bodies = {
         "png": (png_buf.tobytes(), {}),
@@ -177,6 +193,7 @@ def main(argv=None) -> int:
         "requests_per_client": args.requests,
         "max_batch": args.max_batch,
         "upload_hw": [args.upload_height, args.upload_width],
+        "frame": args.frame,
     }
     if args.sweep:
         rows = []
