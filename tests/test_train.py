@@ -1008,3 +1008,41 @@ def test_resume_with_ema_toggled_both_directions(tmp_path, mesh8):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
         t4.state.params, raw,
     )
+
+
+def test_eval_step_multiscale_tta():
+    """tta="ms" averages forwards at snapped scales, resized back to base
+    resolution: real averaging (differs from plain on a generic model),
+    identical pixel count, and exact no-op when every scale snaps back to
+    the base shape (the plumbing adds nothing of its own)."""
+    model = UNet(output_channels=4, base_filters=4)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 32, 64, 3), lr=1e-3
+    )
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(4, 32, 64, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 4, size=(4, 32, 64)).astype(np.int32))
+    plain = make_eval_step(4)(state, x, y, jnp.asarray(4))
+    # UNet's 4 pools need multiples of 16: divisor 16 keeps 0.5/1.5 valid
+    ms = make_eval_step(
+        4, tta="ms", ms_scales=(0.5, 1.5), ms_divisor=16
+    )(state, x, y, jnp.asarray(4))
+    assert int(ms["confusion"].sum()) == 4 * 32 * 64
+    assert bool(jnp.isfinite(ms["loss_sum"]))
+    assert not np.array_equal(
+        np.asarray(ms["confusion"]), np.asarray(plain["confusion"])
+    ) or float(ms["loss_sum"]) != float(plain["loss_sum"])
+    # scales that snap to the base shape are skipped -> exactly plain
+    noop = make_eval_step(
+        4, tta="ms", ms_scales=(1.02,), ms_divisor=16
+    )(state, x, y, jnp.asarray(4))
+    np.testing.assert_array_equal(
+        np.asarray(noop["confusion"]), np.asarray(plain["confusion"])
+    )
+    # flip+ms composes: flip-equivariance still holds exactly
+    ev = make_eval_step(4, tta="flip+ms", ms_scales=(0.5,), ms_divisor=16)
+    m = ev(state, x, y, jnp.asarray(4))
+    m_f = ev(state, jnp.flip(x, axis=2), jnp.flip(y, axis=2), jnp.asarray(4))
+    np.testing.assert_array_equal(
+        np.asarray(m["confusion"]), np.asarray(m_f["confusion"])
+    )

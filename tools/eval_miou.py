@@ -59,10 +59,12 @@ def main(argv=None) -> int:
                    help='comma-separated, e.g. "0.5,0.5,0.5" — must match '
                         "the training normalization (default: ImageNet)")
     p.add_argument("--normalize_std", default="")
-    p.add_argument("--tta", default="", choices=["", "flip"],
+    p.add_argument("--tta", default="", choices=["", "flip", "ms", "flip+ms"],
                    help="test-time augmentation: 'flip' averages logits "
                         "with the horizontally-mirrored forward (2x eval "
-                        "FLOPs; valid for left/right-symmetric classes)")
+                        "FLOPs; valid for left/right-symmetric classes); "
+                        "'ms' averages forwards at 0.75/1.0/1.25 scale "
+                        "(~2.1x FLOPs); 'flip+ms' composes both (~4.2x)")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 

@@ -326,6 +326,8 @@ def make_eval_step(
     mesh: Optional[Mesh] = None,
     normalize: Optional[Tuple] = None,
     tta: str = "",
+    ms_scales: Tuple[float, ...] = (0.75, 1.25),
+    ms_divisor: int = 32,
 ) -> Callable:
     """Jitted eval: (state, images, labels, n_valid) -> metrics dict.
 
@@ -339,14 +341,23 @@ def make_eval_step(
     per-batch normalize/astype outside jit costs a remote-tunnel round trip
     per op (~50-100 ms each — CLAUDE.md); fused, it is one dispatch total.
 
-    ``tta``: "" (off) or "flip" — horizontal-flip test-time augmentation:
-    logits = mean(f(x), unflip(f(flip_W(x)))), both forwards in the same
-    program (2x eval FLOPs; flips are lax.rev, not gathers). Only valid
-    when class semantics are left/right symmetric (true for this task's
-    road classes).
+    ``tta``: "" (off), "flip", "ms", or "flip+ms" — test-time augmentation,
+    every forward inside the ONE jitted program:
+      flip: logits = mean(f(x), unflip(f(flip_W(x)))) — 2x eval FLOPs;
+        flips are lax.rev, not gathers. Only valid when class semantics are
+        left/right symmetric (true for this task's road classes).
+      ms: multi-scale — forwards at ``ms_scales`` (default 0.75/1.0/1.25 of
+        the input, snapped to multiples of ``ms_divisor`` so the encoder's
+        stride pyramid divides; 32 = the flagship's OS), logits resized
+        back to base resolution (ops.resize.resize_bilinear — the
+        arbitrary-ratio EDGE resize, per the §29 rule) and averaged in
+        fp32. ~2.1x eval FLOPs at the default scales. "flip+ms" composes
+        both (flip-averaged forward at every scale, ~4.2x FLOPs).
     """
-    if tta not in ("", "flip"):
-        raise ValueError(f"unknown tta mode {tta!r} (expected '' or 'flip')")
+    if tta not in ("", "flip", "ms", "flip+ms"):
+        raise ValueError(
+            f"unknown tta mode {tta!r} (expected ''|'flip'|'ms'|'flip+ms')"
+        )
 
     def eval_step(state: TrainState, images, labels, n_valid):
         if normalize is not None:
@@ -362,11 +373,30 @@ def make_eval_step(
                 train=False,
             )
 
-        logits = fwd(images)
-        if tta == "flip":
-            logits = 0.5 * (
-                logits + jnp.flip(fwd(jnp.flip(images, axis=2)), axis=2)
-            )
+        def fwd_maybe_flip(x):
+            out = fwd(x)
+            if "flip" in tta:
+                out = 0.5 * (out + jnp.flip(fwd(jnp.flip(x, axis=2)), axis=2))
+            return out
+
+        logits = fwd_maybe_flip(images)
+        if "ms" in tta:
+            from tpuseg.ops.resize import resize_bilinear
+
+            h, w = images.shape[1], images.shape[2]
+            d = int(ms_divisor)
+            acc = logits.astype(jnp.float32)
+            n_sc = 1
+            for s in ms_scales:
+                hs = max(d, int(round(h * s / d)) * d)
+                ws = max(d, int(round(w * s / d)) * d)
+                if (hs, ws) == (h, w):
+                    continue
+                xs = resize_bilinear(images.astype(jnp.float32), hs, ws)
+                ls = fwd_maybe_flip(xs)
+                acc = acc + resize_bilinear(ls.astype(jnp.float32), h, w)
+                n_sc += 1
+            logits = acc / float(n_sc)
         b = images.shape[0]
         valid = (jnp.arange(b) < n_valid).astype(jnp.float32)  # [B]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
