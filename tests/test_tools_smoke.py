@@ -344,3 +344,59 @@ def test_first_contact_chain_end_to_end(monkeypatch, capsys, tmp_path):
     assert fc["3-import-pth"]["status"] == "SKIP"  # no .pth in-image
     assert rec["ok"] is True and "miou" in rec
     assert (ckpt / "best").is_dir()
+
+
+def test_convergence_sweep_smoke(monkeypatch, capsys, tmp_path):
+    """The protocol sweep runner (tools/convergence_sweep.py): a 2-run grid
+    drives end-to-end in one process, writes per-run summaries, and a
+    second invocation skips completed runs (the stall-recovery contract)."""
+    monkeypatch.setenv("TPUSEG_BENCH_CACHE", "")  # keep the test hermetic
+    tiny = [
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16", "--train.batch_size=8",
+        "--train.log_every=0",
+        '--data.sources=[{"kind":"synthetic","num_samples":24,"weight":1.0}]',
+    ]
+    runs = [["ce_t", tiny], ["dice_t", tiny + ["--train.loss=dice"]]]
+    runs_path = tmp_path / "runs.json"
+    runs_path.write_text(json.dumps(runs))
+    out = tmp_path / "sw"
+
+    rc = _run_tool(
+        "convergence_sweep",
+        ["--runs", str(runs_path), "--out", str(out), "--epochs", "1"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    recs = [json.loads(l) for l in (out / "sweep.jsonl").open()]
+    assert [r["name"] for r in recs] == ["ce_t", "dice_t"]
+    for r in recs:
+        assert r["ok"] is True and r["epochs"] == 1
+        assert 0.0 <= r["val_miou"] <= 1.0
+    assert (out / "dice_t" / "history.jsonl").exists()
+
+    # idempotent: completed runs are skipped, summary not re-appended
+    rc = _run_tool(
+        "convergence_sweep",
+        ["--runs", str(runs_path), "--out", str(out), "--epochs", "1"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert text.count("already complete, skip") == 2
+    assert sum(1 for _ in (out / "sweep.jsonl").open()) == 2
+
+
+def test_convergence_sweep_list_and_validation(monkeypatch, capsys, tmp_path):
+    rc = _run_tool(
+        "convergence_sweep", ["--preset", "loss_zoo", "--list"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    names = {r["name"] for r in lines}
+    assert {"ce", "dice", "lovasz", "ce_lovasz", "weights_imb"} <= names
+    with pytest.raises(SystemExit):
+        _run_tool("convergence_sweep", ["--runs", str(tmp_path / "nope"),
+                                        "--list"], monkeypatch, tmp_path)

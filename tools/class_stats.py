@@ -18,6 +18,12 @@ counts, and suggested weights —
 
 Host-side only (pure numpy over the source's load() path — the same
 cv2-decode + LUT-remap pipeline training reads through); no device work.
+
+Training can also resolve these weights itself at startup:
+``--train.class_weights=auto`` (median) / ``auto:inverse`` — same
+implementation (tpuseg/data/class_stats.py), scanned over the run's own
+train split. This tool remains the offline/inspection path and prints the
+explicit list that freezes them.
 """
 
 from __future__ import annotations
@@ -27,52 +33,12 @@ import json
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def compute_stats(source, num_classes: int, samples: int = 0):
-    """Walk ``source.load`` and accumulate per-class pixel/image counts."""
-    n = len(source)
-    if samples:
-        n = min(n, samples)
-    counts = np.zeros(num_classes, np.int64)
-    present_images = np.zeros(num_classes, np.int64)
-    read = 0
-    for i in range(n):
-        item = source.load(i)
-        if item is None:  # unreadable sample (skip, like the pipeline does)
-            continue
-        _, mask = item
-        c = np.bincount(
-            np.asarray(mask, np.int64).ravel(), minlength=num_classes
-        )[:num_classes]
-        counts += c
-        present_images += (c > 0).astype(np.int64)
-        read += 1
-    return counts, present_images, read
-
-
-def suggest_weights(counts: np.ndarray, scheme: str = "median"):
-    """Weights for --train.class_weights; absent classes get 0 (their CE
-    contribution is empty anyway, and 0 keeps them out of the smoothing
-    term's per-class sum)."""
-    total = counts.sum()
-    freq = counts / max(total, 1)
-    present = counts > 0
-    w = np.zeros_like(freq)
-    if not present.any():
-        return w
-    if scheme == "median":
-        med = np.median(freq[present])
-        w[present] = med / freq[present]
-    elif scheme == "inverse":
-        w[present] = 1.0 / freq[present]
-        w[present] /= w[present].mean()
-    else:
-        raise ValueError(f"unknown scheme {scheme!r}")
-    return w
+# Shared implementation with --train.class_weights=auto (the Trainer's
+# startup resolution path): tpuseg/data/class_stats.py.
+from tpuseg.data.class_stats import compute_stats, suggest_weights  # noqa: E402
 
 
 def main(argv=None) -> int:

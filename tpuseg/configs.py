@@ -121,8 +121,11 @@ class TrainConfig:
     # (tpuseg.train.loss.make_loss_fn).
     loss: str = "ce"
     # Per-class CE/focal weights for the road-scene class imbalance: empty
-    # tuple = unweighted; else exactly num_classes floats
-    # (--train.class_weights=1,2,... or YAML list). torch weight= semantics.
+    # tuple = unweighted; exactly num_classes floats
+    # (--train.class_weights=1,2,... or YAML list; torch weight= semantics);
+    # or the string "auto"/"auto:median"/"auto:inverse" — the Trainer scans
+    # its own train split at startup and resolves median-frequency (or
+    # inverse-frequency) weights (tpuseg/data/class_stats.py, DESIGN §38).
     class_weights: Tuple[float, ...] = ()
     label_smoothing: float = 0.0         # torch label_smoothing= semantics
     focal_gamma: float = 2.0             # focal only

@@ -323,7 +323,26 @@ class Trainer:
         if (cfg.loss in ("", "ce") and not cfg.class_weights
                 and cfg.label_smoothing == 0.0 and cfg.ignore_index < 0):
             return None
-        weights = tuple(float(w) for w in cfg.class_weights) or None
+        if isinstance(cfg.class_weights, str):
+            # --train.class_weights=auto[:median|:inverse] — resolve against
+            # this run's own TRAIN split at startup (the measured +8.2-pt
+            # imbalance remedy of DESIGN §38 as one word instead of a
+            # hand-pasted 10-float CSV from tools/class_stats.py)
+            from tpuseg.data.class_stats import resolve_auto_class_weights
+
+            weights = resolve_auto_class_weights(
+                self.combined,
+                self.cfg.model.num_classes,
+                spec=cfg.class_weights,
+            )
+            log.info(
+                "resolved --train.class_weights=%s -> %s "
+                "(freeze with an explicit list for exact reproducibility)",
+                cfg.class_weights,
+                ",".join(f"{w:.4f}" for w in weights),
+            )
+        else:
+            weights = tuple(float(w) for w in cfg.class_weights) or None
         if weights is not None and len(weights) != self.cfg.model.num_classes:
             raise ValueError(
                 f"train.class_weights has {len(weights)} entries; model has "
