@@ -124,6 +124,15 @@ def main(argv=None) -> int:
             print(json.dumps({"name": name, "extra": extra}))
         return 0
 
+    import logging
+
+    # main.py parity: without this the Trainer's per-epoch INFO lines (and
+    # the auto-class-weights resolution log) are invisible in sweep logs.
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s: %(message)s"
+    )
+    logging.getLogger("absl").setLevel(logging.WARNING)
+
     from tpuseg.core.platform import (
         enable_compile_cache,
         env_platform_override,

@@ -114,11 +114,13 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=30,
                    help="finetune epochs (reference trains 200 from scratch, "
                         "main.py:103; a pretrained encoder needs far fewer)")
-    p.add_argument("--loss", default="ce+dice",
-                   help="README guidance: ce+dice low-risk default (+0.43 "
-                        "pts), dice when chasing mIoU on clean labels "
-                        "(+1.06), lovasz for the strongest measured IoU "
-                        "surrogate — see BASELINE.md loss zoo")
+    p.add_argument("--loss", default="ce+lovasz",
+                   help="README guidance (DESIGN §41): lovasz won both "
+                        "protocol arms (+1.73 pts balanced, rare-class "
+                        "rescue under imbalance); ce+lovasz is the "
+                        "label-noise-robust mix and the real-data default "
+                        "here; ce+dice collapses the rare-class rescue at "
+                        "w=0.5 — see BASELINE.md loss zoo rows")
     p.add_argument("--apply_weights", action="store_true",
                    help="pass step 2's suggested class weights to training "
                         "(the measured rescue for heavy imbalance: rare-class "
