@@ -222,3 +222,13 @@ def test_train_bench_tool_smoke(monkeypatch, capsys, tmp_path):
     import math
     assert math.isfinite(rec["loss"])
     assert not hist.exists()  # cpu runs never pollute the history
+
+    # --loss routes a configured loss into the step (DESIGN §44's cost
+    # measurement path); lovasz exercises the sort formulation under jit
+    rc = mod.main([
+        "--model", "unet", "--height", "32", "--width", "64",
+        "--batch", "4", "--steps", "2", "--loss", "lovasz",
+    ])
+    assert rc == 0
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["value"] > 0 and math.isfinite(rec2["loss"])

@@ -311,3 +311,74 @@ def test_trainer_build_loss_validates_class_weights():
     ])
     with pytest.raises(ValueError, match="class_weights"):
         Trainer(cfg)
+
+
+def test_lovasz_binned_matches_exact():
+    """The sort-free level-set path (bins>0, DESIGN §45) converges to the
+    exact-sort value as O(1/bins); at the shipping default (256) the
+    difference is noise. Gradient stays finite and descent-aligned."""
+    rng = np.random.RandomState(7)
+    logits = jnp.asarray(rng.randn(2, 16, 24, 10).astype(np.float32) * 2)
+    targets = jnp.asarray(rng.randint(0, 10, (2, 16, 24)))
+    exact = float(lovasz_softmax_loss(logits, targets))
+    diffs = []
+    for bins in (64, 256, 1024):
+        diffs.append(
+            abs(float(lovasz_softmax_loss(logits, targets, bins=bins))
+                - exact)
+        )
+    assert diffs[1] < 1e-4 and diffs[2] < 2e-5
+    assert diffs[2] <= diffs[0]  # finer bins converge toward exact
+
+    g_ex = jax.grad(lambda l: lovasz_softmax_loss(l, targets))(logits)
+    g_bn = jax.grad(
+        lambda l: lovasz_softmax_loss(l, targets, bins=256)
+    )(logits)
+    assert bool(jnp.all(jnp.isfinite(g_bn)))
+    cos = float(
+        jnp.sum(g_ex * g_bn)
+        / (jnp.linalg.norm(g_ex) * jnp.linalg.norm(g_bn))
+    )
+    assert cos > 0.8  # bin-averaged Lovász coefficients, same direction
+
+
+def test_lovasz_binned_edge_cases():
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(2, 16, 16, 5).astype(np.float32))
+    targets = np.asarray(rng.randint(0, 5, (2, 16, 16)))
+    targets[0, :4] = 255  # ignore_index rows
+    targets = jnp.asarray(targets)
+    e = float(lovasz_softmax_loss(logits, targets, ignore_index=255))
+    a = float(
+        lovasz_softmax_loss(logits, targets, ignore_index=255, bins=256)
+    )
+    assert abs(a - e) < 1e-4
+
+    # absent classes excluded identically (classes="present")
+    t0 = jnp.zeros((2, 16, 16), jnp.int32)
+    assert abs(
+        float(lovasz_softmax_loss(logits, t0, bins=256))
+        - float(lovasz_softmax_loss(logits, t0))
+    ) < 1e-4
+    # perfect prediction -> ~0
+    perfect = jax.nn.one_hot(t0, 5) * 20.0
+    assert float(lovasz_softmax_loss(perfect, t0, bins=256)) < 1e-3
+
+
+def test_make_loss_fn_lovasz_bins_routing():
+    """make_loss_fn defaults to the binned path (lovasz_bins=256) and
+    bins=0 restores the exact sort; both under jit."""
+    rng = np.random.RandomState(11)
+    logits = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, 4, (2, 8, 8)))
+    exact = float(jax.jit(make_loss_fn("lovasz", lovasz_bins=0))(
+        logits, targets))
+    default = float(jax.jit(make_loss_fn("lovasz"))(logits, targets))
+    assert exact == pytest.approx(
+        float(lovasz_softmax_loss(logits, targets)), abs=1e-6
+    )
+    assert default == pytest.approx(exact, abs=1e-4)
+    mix0 = float(jax.jit(make_loss_fn("ce+lovasz", lovasz_bins=0))(
+        logits, targets))
+    mix = float(jax.jit(make_loss_fn("ce+lovasz"))(logits, targets))
+    assert mix == pytest.approx(mix0, abs=1e-4)

@@ -40,6 +40,15 @@ def main(argv=None) -> int:
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the encoder: on an HBM-bound step, "
                         "recomputing activations can beat storing them")
+    p.add_argument("--loss", default="",
+                   help="configured loss for the step ('' = the default "
+                        "plain-CE path): ce|focal|dice|ce+dice|lovasz|"
+                        "ce+lovasz — measures the device-side cost of the "
+                        "loss itself (lovasz sorts H*W errors per class; "
+                        "DESIGN §45)")
+    p.add_argument("--lovasz_bins", type=int, default=256,
+                   help="level-set resolution for --loss lovasz/ce+lovasz "
+                        "(0 = the exact-sort path: the measured 26x A/B)")
     p.add_argument("--eval", action="store_true",
                    help="benchmark the eval step (fwd + loss + confusion "
                         "matrix) instead of the train step")
@@ -106,7 +115,13 @@ def main(argv=None) -> int:
         cost_lowered = lambda: eval_step.lower(
             state, x, y, jnp.int32(args.batch))
     else:
-        step = make_train_step(donate=False, remat=args.remat)
+        loss_fn = None
+        if args.loss:
+            from tpuseg.train.loss import make_loss_fn
+
+            loss_fn = make_loss_fn(args.loss, lovasz_bins=args.lovasz_bins)
+        step = make_train_step(donate=False, remat=args.remat,
+                               loss_fn=loss_fn)
         cost_lowered = lambda: step.lower(state, x, y)
 
     rng = np.random.RandomState(0)
@@ -196,6 +211,8 @@ def main(argv=None) -> int:
                 "model": args.model, "dtype": args.dtype,
                 "remat": bool(args.remat), "eval": bool(args.eval),
                 "bf16_head": bool(args.bf16_head), "steps": args.steps,
+                "loss_name": args.loss or "ce_default",
+                "lovasz_bins": args.lovasz_bins,
             },
             "t": time.time(),
         }

@@ -130,6 +130,11 @@ class TrainConfig:
     label_smoothing: float = 0.0         # torch label_smoothing= semantics
     focal_gamma: float = 2.0             # focal only
     dice_weight: float = 0.5             # ce+dice / ce+lovasz mix weight
+    # Level-set resolution of the sort-free Lovász path (lovasz/ce+lovasz):
+    # the exact algorithm's XLA:TPU sort costs 26x the whole train step;
+    # the binned formulation recovers it at equal protocol quality
+    # (DESIGN §45). 0 = exact sort (the parity oracle).
+    lovasz_bins: int = 256
     # Target value excluded from loss + its denominator (torch ignore_index;
     # e.g. 255 for void pixels). Negative = off (all 0..C-1 targets count).
     ignore_index: int = -1

@@ -146,10 +146,80 @@ def dice_loss(
     return 1.0 - jnp.mean(dice)
 
 
+def _binned_lovasz(
+    errors: jnp.ndarray, fg: jnp.ndarray, bins: int, dtype
+) -> jnp.ndarray:
+    """Sort-free Lovász via error-level-set histograms — the TPU path.
+
+    The exact algorithm needs each pixel's *rank* among descending errors
+    and the cumulative foreground mass above it; an XLA:TPU sort over
+    [C, B*H*W] costs ~26x the whole train step (measured, DESIGN §45).
+    But errors live in [0, 1], so quantize the *ranking* (not the errors)
+    into ``bins`` level sets: for each threshold t_j = j/bins compute
+
+        N(j) = #{e >= t_j}    F(j) = sum fg[e >= t_j]    S(j) = sum e[e >= t_j]
+
+    — three fused compare+multiply+reduce passes, no sort, no gather. The
+    Jaccard value after processing exactly the level set P_j is
+    ``1 - (gts - F)/(gts + N - F)`` (identical to the exact prefix
+    formula with k = N(j)), and the block of pixels falling between two
+    thresholds contributes ``mean(e in block) * (jac(P_j) - jac(P_j+1))``
+    — the within-block telescoping is exact because the Lovász dot
+    product only weighs each error by its local jaccard delta. The
+    approximation error is O(1/bins) in the error values, and the
+    per-pixel gradient is the exact Lovász gradient averaged within the
+    pixel's bin (indicators are piecewise-constant, so autodiff yields
+    d loss/d e_i = delta_jac(bin_i)/n(bin_i) — the classic coefficient).
+
+    Chunked over thresholds (K at a time) so the fused [C, P, K]
+    broadcast never materializes and the [C, P] error plane streams from
+    HBM bins/K times instead of bins times.
+    """
+    c, p = errors.shape
+    nb = int(bins)
+    k = 16  # thresholds per chunk: [C, P, 16] stays a fused loop, not a buffer
+    n_levels = nb + 1
+    pad = (-n_levels) % k
+    # thresholds t_0=0 .. t_nb=1; padded levels sit above 1.0 => empty sets
+    t = jnp.arange(n_levels + pad, dtype=dtype) / nb
+    t_chunks = t.reshape(-1, k)
+    # ones/fg/errors share one fused reduce per chunk => errors read once
+    vals = jnp.stack([jnp.ones_like(errors), fg, errors])    # [3, C, P]
+
+    def chunk(_, tk):
+        ind = (errors[None, :, :, None] >= tk[None, None, None, :])
+        red = jnp.sum(
+            vals[:, :, :, None] * ind.astype(dtype), axis=2
+        )                                                     # [3, C, K]
+        return None, red
+
+    _, red = jax.lax.scan(chunk, None, t_chunks)              # [nc, 3, C, K]
+    red = jnp.moveaxis(red, 1, 0).reshape(3, -1, c, k)
+    red = jnp.moveaxis(red, 3, 2).reshape(3, -1, c)           # [3, L, C]
+    n_lv = red[0][:n_levels].T                                # [C, levels]
+    f_lv = red[1][:n_levels].T
+    s_lv = red[2][:n_levels].T
+    gts = f_lv[:, :1]                                         # F(t=0) = all fg
+    # jac(P_j); union >= gts >= 1 for present classes (absent masked below)
+    jac = 1.0 - (gts - f_lv) / jnp.maximum(gts + n_lv - f_lv, 1.0)
+    zero = jnp.zeros((c, 1), dtype)
+    jac_next = jnp.concatenate([jac[:, 1:], zero], axis=1)    # jac(P_{j+1})
+    n_next = jnp.concatenate([n_lv[:, 1:], zero], axis=1)
+    s_next = jnp.concatenate([s_lv[:, 1:], zero], axis=1)
+    n_blk = n_lv - n_next
+    mean_e = (s_lv - s_next) / jnp.maximum(n_blk, 1.0)
+    per_class = jnp.sum(mean_e * (jac - jac_next), axis=-1)   # [C]
+    present = (gts[:, 0] > 0).astype(dtype)
+    return jnp.sum(per_class * present) / jnp.maximum(
+        jnp.sum(present), 1.0
+    )
+
+
 def lovasz_softmax_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,
     ignore_index: Optional[int] = None,
+    bins: int = 0,
 ) -> jnp.ndarray:
     """Lovász-softmax loss (Berman et al., CVPR 2018), classes="present".
 
@@ -181,6 +251,11 @@ def lovasz_softmax_loss(
         valid = (targets != ignore_index).astype(dtype).reshape(1, -1)
         fg = fg * valid
         errors = errors * valid
+    if bins > 0:
+        # Sort-free level-set path (the TPU default via train.lovasz_bins;
+        # measured 26x step-time recovery at equal protocol quality —
+        # DESIGN §45). bins=0 keeps the exact sort as the parity oracle.
+        return _binned_lovasz(errors, fg, bins, dtype)
     # descending sort of errors, carrying the labels: negate the keys.
     neg_sorted, fg_sorted = jax.lax.sort_key_val(
         -errors, fg, dimension=-1
@@ -207,6 +282,7 @@ def make_loss_fn(
     focal_gamma: float = 2.0,
     dice_weight: float = 0.5,
     ignore_index: Optional[int] = None,
+    lovasz_bins: int = 256,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Config-driven loss factory: (logits [B,H,W,C], targets [B,H,W]) -> scalar.
 
@@ -214,7 +290,9 @@ def make_loss_fn(
     (the combos are ``(1-dice_weight)*CE + dice_weight*<surrogate>``, the
     common segmentation mixes; ``dice_weight`` weights either surrogate).
     ``class_weights`` is baked in as a compile-time constant (a [C] vector —
-    no retrace cost, no extra step argument).
+    no retrace cost, no extra step argument). ``lovasz_bins``: level-set
+    resolution of the sort-free Lovász path (the TPU default; 0 = the
+    exact-sort oracle, 26x the step time at equal quality — DESIGN §45).
     """
     w = None if class_weights is None else jnp.asarray(
         class_weights, jnp.float32
@@ -270,7 +348,8 @@ def make_loss_fn(
     elif name == "lovasz":
         def fn(logits, targets):
             return lovasz_softmax_loss(
-                logits, targets, ignore_index=ignore_index
+                logits, targets, ignore_index=ignore_index,
+                bins=lovasz_bins,
             )
     elif name in ("ce+lovasz", "lovasz+ce"):
         dw = float(dice_weight)
@@ -280,7 +359,8 @@ def make_loss_fn(
                 label_smoothing=label_smoothing, ignore_index=ignore_index,
             )
             lv = lovasz_softmax_loss(
-                logits, targets, ignore_index=ignore_index
+                logits, targets, ignore_index=ignore_index,
+                bins=lovasz_bins,
             )
             return (1.0 - dw) * ce + dw * lv
     else:

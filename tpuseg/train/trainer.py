@@ -357,6 +357,7 @@ class Trainer:
             focal_gamma=cfg.focal_gamma,
             dice_weight=cfg.dice_weight,
             ignore_index=cfg.ignore_index if cfg.ignore_index >= 0 else None,
+            lovasz_bins=cfg.lovasz_bins,
         )
 
     def _build_distillation(self, loss_fn):
