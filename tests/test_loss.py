@@ -382,3 +382,59 @@ def test_make_loss_fn_lovasz_bins_routing():
         logits, targets))
     mix = float(jax.jit(make_loss_fn("ce+lovasz"))(logits, targets))
     assert mix == pytest.approx(mix0, abs=1e-4)
+
+
+def _errors_fg(logits, targets):
+    from tpuseg.train.loss import _prep
+
+    logp, onehot, _ = _prep(logits, targets)
+    c = logits.shape[-1]
+    fg = jnp.reshape(onehot, (-1, c)).T
+    pr = jnp.reshape(jnp.exp(logp), (-1, c)).T
+    return jnp.abs(fg - pr), fg
+
+
+def test_lovasz_pallas_kernels_match_scan():
+    """The Pallas histogram/lookup kernels (interpret mode on CPU) must
+    reproduce the XLA scan path bit-for-bit-ish: same binning, same
+    telescoped value, and the custom-VJP gradient IS the scan path's
+    autodiff gradient (delta-jaccard of the pixel's bin / bin count)."""
+    from tpuseg.ops.lovasz_pallas import lovasz_binned_pallas
+    from tpuseg.train.loss import _binned_lovasz
+
+    rng = np.random.RandomState(0)
+    # odd P (not a multiple of 128) exercises the -1 pad masking
+    for shape in ((2, 16, 24, 10), (1, 3, 37, 4)):
+        b, h, w, c = shape
+        logits = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32) * 2)
+        targets = jnp.asarray(rng.randint(0, c, (b, h, w)))
+        errors, fg = _errors_fg(logits, targets)
+        scan = float(_binned_lovasz(errors, fg, 256, jnp.float32))
+        pal = float(lovasz_binned_pallas(errors, fg, interpret=True))
+        assert pal == pytest.approx(scan, abs=2e-6)
+        g_pal = jax.grad(
+            lambda e: lovasz_binned_pallas(e, fg, interpret=True)
+        )(errors)
+        g_scan = jax.grad(
+            lambda e: _binned_lovasz(e, fg, 256, jnp.float32)
+        )(errors)
+        assert bool(jnp.all(jnp.isfinite(g_pal)))
+        np.testing.assert_allclose(
+            np.asarray(g_pal), np.asarray(g_scan), atol=1e-6
+        )
+
+
+def test_lovasz_pallas_disabled_on_cpu_backend():
+    """On the CPU backend the dispatch must route to the XLA scan path
+    (the Pallas kernels only lower on TPU; interpret mode is test-only),
+    and TPUSEG_LOVASZ_PALLAS=0 is the explicit opt-out either way."""
+    from tpuseg.train.loss import _lovasz_pallas_enabled
+
+    assert not _lovasz_pallas_enabled()  # tests run on cpu backend
+    import os
+
+    os.environ["TPUSEG_LOVASZ_PALLAS"] = "0"
+    try:
+        assert not _lovasz_pallas_enabled()
+    finally:
+        del os.environ["TPUSEG_LOVASZ_PALLAS"]

@@ -146,6 +146,19 @@ def dice_loss(
     return 1.0 - jnp.mean(dice)
 
 
+def _lovasz_pallas_enabled() -> bool:
+    """Pallas lovasz path: TPU backend only, `TPUSEG_LOVASZ_PALLAS=0`
+    opts out (the A/B lever for tools/train_bench.py)."""
+    import os
+
+    if os.environ.get("TPUSEG_LOVASZ_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # backend init failure: fall back to the XLA path
+        return False
+
+
 def _binned_lovasz(
     errors: jnp.ndarray, fg: jnp.ndarray, bins: int, dtype
 ) -> jnp.ndarray:
@@ -177,7 +190,14 @@ def _binned_lovasz(
     """
     c, p = errors.shape
     nb = int(bins)
-    k = 16  # thresholds per chunk: [C, P, 16] stays a fused loop, not a buffer
+    # Layout is everything here (measured ladder in DESIGN §45): P must
+    # stay the MINOR (lane) dimension — it is millions wide, so the
+    # compare+reduce vectorizes across all 128 lanes and the reduction is
+    # the fast minor-axis path. Thresholds go on the sublane axis in
+    # chunks of K. The two wrong layouts both lose: K-minor starves the
+    # lanes (16/128 used, 234 imgs/s), and K=128-minor makes XLA
+    # materialize the [C, P, K] indicator (21.5 GB compile OOM).
+    k = 16
     n_levels = nb + 1
     pad = (-n_levels) % k
     # thresholds t_0=0 .. t_nb=1; padded levels sit above 1.0 => empty sets
@@ -186,19 +206,25 @@ def _binned_lovasz(
     # ones/fg/errors share one fused reduce per chunk => errors read once
     vals = jnp.stack([jnp.ones_like(errors), fg, errors])    # [3, C, P]
 
+    # jax.checkpoint: without it autodiff saves the fused [C, P, K]
+    # indicator as a per-iteration scan residual — [chunks, 3, C, P, K]
+    # f32 = 45.6 GB at batch 128 (measured compile OOM on v5e). Remat
+    # recomputes the compare in the backward pass; the indicator has zero
+    # gradient anyway (piecewise-constant), so only the cheap compare
+    # itself is replayed.
+    @jax.checkpoint
     def chunk(_, tk):
-        ind = (errors[None, :, :, None] >= tk[None, None, None, :])
+        ind = (errors[:, None, :] >= tk[None, :, None])       # [C, K, P]
         red = jnp.sum(
-            vals[:, :, :, None] * ind.astype(dtype), axis=2
+            vals[:, :, None, :] * ind.astype(dtype)[None], axis=-1
         )                                                     # [3, C, K]
         return None, red
 
     _, red = jax.lax.scan(chunk, None, t_chunks)              # [nc, 3, C, K]
-    red = jnp.moveaxis(red, 1, 0).reshape(3, -1, c, k)
-    red = jnp.moveaxis(red, 3, 2).reshape(3, -1, c)           # [3, L, C]
-    n_lv = red[0][:n_levels].T                                # [C, levels]
-    f_lv = red[1][:n_levels].T
-    s_lv = red[2][:n_levels].T
+    red = jnp.transpose(red, (1, 2, 0, 3)).reshape(3, c, -1)  # [3, C, L]
+    n_lv = red[0][:, :n_levels]                               # [C, levels]
+    f_lv = red[1][:, :n_levels]
+    s_lv = red[2][:, :n_levels]
     gts = f_lv[:, :1]                                         # F(t=0) = all fg
     # jac(P_j); union >= gts >= 1 for present classes (absent masked below)
     jac = 1.0 - (gts - f_lv) / jnp.maximum(gts + n_lv - f_lv, 1.0)
@@ -253,8 +279,15 @@ def lovasz_softmax_loss(
         errors = errors * valid
     if bins > 0:
         # Sort-free level-set path (the TPU default via train.lovasz_bins;
-        # measured 26x step-time recovery at equal protocol quality —
-        # DESIGN §45). bins=0 keeps the exact sort as the parity oracle.
+        # bins=0 keeps the exact sort as the parity oracle, measured 26x
+        # the step time — DESIGN §45). On TPU at the default 256 bins the
+        # Pallas histogram/lookup kernels take over (read-once tiles, MXU
+        # one-hot contraction); the XLA scan below is the portable
+        # fallback (CPU tests, non-default bins).
+        if bins == 256 and _lovasz_pallas_enabled():
+            from tpuseg.ops.lovasz_pallas import lovasz_binned_pallas
+
+            return lovasz_binned_pallas(errors, fg).astype(dtype)
         return _binned_lovasz(errors, fg, bins, dtype)
     # descending sort of errors, carrying the labels: negate the keys.
     neg_sorted, fg_sorted = jax.lax.sort_key_val(
