@@ -1046,3 +1046,48 @@ def test_eval_step_multiscale_tta():
     np.testing.assert_array_equal(
         np.asarray(m["confusion"]), np.asarray(m_f["confusion"])
     )
+
+
+def test_sharded_lovasz_equals_single_device(mesh8):
+    """loss=lovasz over the 8-device mesh (the shard_map region: local
+    level-set histograms + one [C, bins] psum — DESIGN §45) must equal the
+    single-device binned loss, value and trajectory."""
+    import optax
+
+    from tpuseg.train.loss import make_loss_fn
+
+    x, y = _toy_batch(8)
+
+    def mk_state():
+        model = UNet(output_channels=4, base_filters=4)
+        return create_train_state(
+            model, jax.random.PRNGKey(0), (1, 16, 32, 3), tx=optax.sgd(0.1)
+        )
+
+    s1 = mk_state()
+    step1 = make_train_step(
+        donate=False, loss_fn=make_loss_fn("lovasz")
+    )
+    l1 = []
+    for _ in range(3):
+        s1, m = step1(s1, x, y)
+        l1.append(float(m["loss"]))
+
+    s2 = mk_state()
+    step8 = make_train_step(
+        mesh=mesh8, donate=False,
+        loss_fn=make_loss_fn("lovasz", mesh=mesh8),
+    )
+    l2 = []
+    for _ in range(3):
+        s2, m = step8(s2, x, y)
+        l2.append(float(m["loss"]))
+
+    np.testing.assert_allclose(l1, l2, rtol=1e-4)
+
+    # the ce+lovasz mix shards too (CE under GSPMD, lovasz in shard_map)
+    v1 = float(make_loss_fn("ce+lovasz")(*_toy_batch(8, seed=3)))
+    mixed = make_loss_fn("ce+lovasz", mesh=mesh8)
+    xb, yb = _toy_batch(8, seed=3)
+    v2 = float(jax.jit(mixed)(xb, yb))
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)

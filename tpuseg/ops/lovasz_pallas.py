@@ -178,26 +178,32 @@ def _lookup(errors, coef, interpret):
     return w.reshape(c, -1)[:, :p]
 
 
-def _fwd_impl(errors, fg, interpret):
+def _fwd_impl(errors, fg, interpret, psum_axes):
     h_n, h_f, h_s = _histograms(errors, fg, interpret)
+    if psum_axes:
+        # sharded batch (shard_map region): histograms are additive over
+        # pixels, so ONE psum of the tiny [C, NB] stats globalizes them;
+        # coef/value below are pure functions of the global histograms and
+        # compute identically (replicated) on every device, while the
+        # lookup stays local — no error-plane collective ever happens.
+        h_n, h_f, h_s = jax.lax.psum((h_n, h_f, h_s), psum_axes)
     coef, value = _coefficients(h_n, h_f, h_s)
     w = _lookup(errors, coef, interpret)
-    # identical value to `value`, but written as sum(e * w) so the saved
-    # residual w IS the gradient; keep the histogram value as a cheap
-    # numerical cross-check during tests.
-    del value
-    return jnp.sum(errors * w), w
+    # `value` (the histogram telescoped sum) == sum_global(e * w) to f32
+    # rounding; returning it keeps the forward collective-free beyond the
+    # histogram psum, and the saved residual w IS the local gradient.
+    return value, w
 
 
-@functools.lru_cache(maxsize=2)
-def _make_op(interpret: bool):
+@functools.lru_cache(maxsize=8)
+def _make_op(interpret: bool, psum_axes: tuple):
     @jax.custom_vjp
     def op(errors, fg):
-        loss, _ = _fwd_impl(errors, fg, interpret)
+        loss, _ = _fwd_impl(errors, fg, interpret, psum_axes)
         return loss
 
     def fwd(errors, fg):
-        loss, w = _fwd_impl(errors, fg, interpret)
+        loss, w = _fwd_impl(errors, fg, interpret, psum_axes)
         return loss, w
 
     def bwd(w, g):
@@ -207,11 +213,12 @@ def _make_op(interpret: bool):
     return op
 
 
-def lovasz_binned_pallas(errors, fg, interpret=False):
+def lovasz_binned_pallas(errors, fg, interpret=False, psum_axes=()):
     """Binned Lovász-softmax from [C, P] errors/foreground — scalar loss.
 
     Differentiable in ``errors`` (d/de_i = the pixel's bin coefficient,
     the exact-sort algorithm's own autodiff semantics); ``fg`` is a
-    constant (one-hot targets).
+    constant (one-hot targets). ``psum_axes``: mesh axis names when called
+    per-shard inside a shard_map region (make_loss_fn wires this up).
     """
-    return _make_op(bool(interpret))(errors, fg)
+    return _make_op(bool(interpret), tuple(psum_axes))(errors, fg)

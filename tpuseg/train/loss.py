@@ -160,7 +160,8 @@ def _lovasz_pallas_enabled() -> bool:
 
 
 def _binned_lovasz(
-    errors: jnp.ndarray, fg: jnp.ndarray, bins: int, dtype
+    errors: jnp.ndarray, fg: jnp.ndarray, bins: int, dtype,
+    psum_axes: tuple = (),
 ) -> jnp.ndarray:
     """Sort-free Lovász via error-level-set histograms — the TPU path.
 
@@ -222,6 +223,12 @@ def _binned_lovasz(
 
     _, red = jax.lax.scan(chunk, None, t_chunks)              # [nc, 3, C, K]
     red = jnp.transpose(red, (1, 2, 0, 3)).reshape(3, c, -1)  # [3, C, L]
+    if psum_axes:
+        # sharded batch (shard_map region): level-set sums are additive
+        # over pixels, so ONE psum of the tiny [3, C, L] stats globalizes
+        # them; everything below is a pure function of the global sums and
+        # computes identically (replicated) on every device.
+        red = jax.lax.psum(red, psum_axes)
     n_lv = red[0][:, :n_levels]                               # [C, levels]
     f_lv = red[1][:, :n_levels]
     s_lv = red[2][:, :n_levels]
@@ -246,6 +253,7 @@ def lovasz_softmax_loss(
     targets: jnp.ndarray,
     ignore_index: Optional[int] = None,
     bins: int = 0,
+    psum_axes: tuple = (),
 ) -> jnp.ndarray:
     """Lovász-softmax loss (Berman et al., CVPR 2018), classes="present".
 
@@ -287,8 +295,15 @@ def lovasz_softmax_loss(
         if bins == 256 and _lovasz_pallas_enabled():
             from tpuseg.ops.lovasz_pallas import lovasz_binned_pallas
 
-            return lovasz_binned_pallas(errors, fg).astype(dtype)
-        return _binned_lovasz(errors, fg, bins, dtype)
+            return lovasz_binned_pallas(
+                errors, fg, psum_axes=psum_axes
+            ).astype(dtype)
+        return _binned_lovasz(errors, fg, bins, dtype, psum_axes=psum_axes)
+    if psum_axes:
+        raise ValueError(
+            "psum_axes (sharded lovasz) requires bins > 0 — the exact "
+            "sort path is global by construction"
+        )
     # descending sort of errors, carrying the labels: negate the keys.
     neg_sorted, fg_sorted = jax.lax.sort_key_val(
         -errors, fg, dimension=-1
@@ -308,6 +323,39 @@ def lovasz_softmax_loss(
     )
 
 
+def _maybe_sharded_lovasz(ignore_index, bins, mesh, spatial):
+    """(logits, targets) -> lovasz scalar; shard_map'd when mesh.size > 1.
+
+    The wrapped region computes per-device histograms over its local
+    batch/height shard and psums the [C, bins] statistics (see
+    lovasz_softmax_loss's psum_axes); the sort oracle (bins=0) cannot be
+    sharded and falls back to GSPMD semantics.
+    """
+    if mesh is None or mesh.size <= 1 or bins <= 0:
+        return lambda lg, tg: lovasz_softmax_loss(
+            lg, tg, ignore_index=ignore_index, bins=bins
+        )
+    from jax.sharding import PartitionSpec as P
+
+    axes = ("data",) + (("spatial",) if spatial else ())
+    spec_x = P("data", "spatial" if spatial else None, None, None)
+    spec_y = P("data", "spatial" if spatial else None, None)
+
+    def local(lg, tg):
+        return lovasz_softmax_loss(
+            lg, tg, ignore_index=ignore_index, bins=bins, psum_axes=axes
+        )
+
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec_x, spec_y), out_specs=P()
+    )
+
+    def fn(lg, tg):
+        return sharded(lg, tg)
+
+    return fn
+
+
 def make_loss_fn(
     name: str = "ce",
     class_weights: Optional[Sequence[float]] = None,
@@ -316,6 +364,8 @@ def make_loss_fn(
     dice_weight: float = 0.5,
     ignore_index: Optional[int] = None,
     lovasz_bins: int = 256,
+    mesh=None,
+    spatial: bool = False,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Config-driven loss factory: (logits [B,H,W,C], targets [B,H,W]) -> scalar.
 
@@ -326,6 +376,13 @@ def make_loss_fn(
     no retrace cost, no extra step argument). ``lovasz_bins``: level-set
     resolution of the sort-free Lovász path (the TPU default; 0 = the
     exact-sort oracle, 26x the step time at equal quality — DESIGN §45).
+
+    ``mesh``/``spatial``: when training over a multi-device mesh, the
+    lovasz term runs inside a shard_map region — each device bins its
+    LOCAL pixels (Pallas kernels on TPU, the XLA scan elsewhere) and one
+    psum of the tiny [C, bins] histograms globalizes the statistics. A
+    GSPMD-opaque pallas_call would otherwise make XLA all-gather the
+    whole [C, B*H*W] error plane per step. Ignored for mesh.size == 1.
     """
     w = None if class_weights is None else jnp.asarray(
         class_weights, jnp.float32
@@ -379,11 +436,10 @@ def make_loss_fn(
             dc = dice_loss(logits, targets, ignore_index=ignore_index)
             return (1.0 - dw) * ce + dw * dc
     elif name == "lovasz":
+        lv = _maybe_sharded_lovasz(ignore_index, lovasz_bins, mesh, spatial)
+
         def fn(logits, targets):
-            return lovasz_softmax_loss(
-                logits, targets, ignore_index=ignore_index,
-                bins=lovasz_bins,
-            )
+            return lv(logits, targets)
     elif name in ("ce+lovasz", "lovasz+ce"):
         dw = float(dice_weight)
         def fn(logits, targets):
@@ -391,11 +447,10 @@ def make_loss_fn(
                 logits, targets, class_weights=w,
                 label_smoothing=label_smoothing, ignore_index=ignore_index,
             )
-            lv = lovasz_softmax_loss(
-                logits, targets, ignore_index=ignore_index,
-                bins=lovasz_bins,
-            )
-            return (1.0 - dw) * ce + dw * lv
+            lov = _maybe_sharded_lovasz(
+                ignore_index, lovasz_bins, mesh, spatial
+            )(logits, targets)
+            return (1.0 - dw) * ce + dw * lov
     else:
         raise ValueError(
             f"unknown loss {name!r}: expected "

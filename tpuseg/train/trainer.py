@@ -358,6 +358,11 @@ class Trainer:
             dice_weight=cfg.dice_weight,
             ignore_index=cfg.ignore_index if cfg.ignore_index >= 0 else None,
             lovasz_bins=cfg.lovasz_bins,
+            # multi-device: the lovasz term shard_maps (local histograms +
+            # one [C, bins] psum) instead of letting GSPMD all-gather the
+            # error plane around the opaque pallas_call (DESIGN §45)
+            mesh=self.mesh if self.mesh.size > 1 else None,
+            spatial=self.mesh.shape.get("spatial", 1) > 1,
         )
 
     def _build_distillation(self, loss_fn):
