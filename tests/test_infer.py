@@ -208,6 +208,8 @@ def test_video_pipeline_device_close(tmp_path):
     stats = VideoPipeline(pred).run(src, output_path=str(tmp_path / "o.mp4"))
     assert stats["frames"] == 8
     assert isinstance(stats["tunnel_ok"], bool)
+    # the fetch-subtracted diagnostic is >= fps and finite
+    assert stats["fps_ex_fetch"] >= stats["fps"] > 0
 
 
 def test_video_pipeline_end_to_end(tmp_path):
