@@ -438,3 +438,43 @@ def test_lovasz_pallas_disabled_on_cpu_backend():
         assert not _lovasz_pallas_enabled()
     finally:
         del os.environ["TPUSEG_LOVASZ_PALLAS"]
+
+
+def test_sharded_lovasz_pallas_op_matches_single_device():
+    """The TPU multi-device path (tpuseg/ops/lovasz_pallas.py::
+    make_sharded_lovasz): forward-only shard_map region + analytic
+    softmax-chain gradient + custom_vjp OUTSIDE the shard_map. Pinned
+    rationale: autodiff cannot transpose a shard_map holding a
+    pallas_call — vma checking rejects the kernel out_shape, and
+    check_vma=False was measured scaling the transposed cotangent by
+    exactly 1/mesh.size. Value AND grad must match single-device."""
+    from jax.sharding import Mesh
+
+    from tpuseg.ops.lovasz_pallas import make_sharded_lovasz
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "spatial"))
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(8, 16, 32, 10).astype(np.float32) * 2)
+    targets = np.asarray(rng.randint(0, 10, (8, 16, 32)))
+    targets[0, :3] = 255
+    targets = jnp.asarray(targets)
+
+    for ign in (None, 255):
+        fn = make_sharded_lovasz(
+            mesh, spatial=True, ignore_index=ign, interpret=True
+        )
+        v = float(jax.jit(fn)(logits, targets))
+        ref = float(
+            lovasz_softmax_loss(logits, targets, ignore_index=ign, bins=256)
+        )
+        assert v == pytest.approx(ref, abs=1e-6)
+        g = jax.grad(lambda l: jax.jit(fn)(l, targets))(logits)
+        g1 = jax.grad(
+            lambda l: lovasz_softmax_loss(
+                l, targets, ignore_index=ign, bins=256
+            )
+        )(logits)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g1), atol=1e-8
+        )

@@ -55,6 +55,13 @@ def main(argv=None) -> int:
                    help="evaluate only N images, evenly strided across the "
                         "dataset (deterministic) — the first-contact smoke "
                         "run on a large val set (0 = all)")
+    p.add_argument("--holdout_val_split", type=float, default=0.0,
+                   help="carve the SAME seeded train/val split the Trainer "
+                        "uses (--data.val_split) and evaluate ONLY the "
+                        "held-out side — the honest score when --data_dir "
+                        "is the training directory (0 = score everything)")
+    p.add_argument("--holdout_seed", type=int, default=42,
+                   help="split seed; must match training's --data.seed")
     p.add_argument("--normalize_mean", default="",
                    help='comma-separated, e.g. "0.5,0.5,0.5" — must match '
                         "the training normalization (default: ImageNet)")
@@ -110,6 +117,11 @@ def main(argv=None) -> int:
     if len(source) == 0:
         print(f"ERROR: no samples found under {img_dir!r}", file=sys.stderr)
         return 1
+    if args.limit and args.holdout_val_split:
+        print("ERROR: --limit and --holdout_val_split carve the dataset "
+              "differently from the trainer's split — use one or the other",
+              file=sys.stderr)
+        return 1
     if args.limit and args.limit < len(source):
         # Deterministic evenly-strided subsample: representative across the
         # (sorted) dataset order, reproducible run to run — the smoke-check
@@ -125,8 +137,20 @@ def main(argv=None) -> int:
                 return base.load(int(idx[i]))
 
         source = _Strided()
-    # val_split=1.0: the WHOLE dataset is the (deterministic) eval split
-    combined = CombinedDataset([source], val_split=1.0)
+    if args.holdout_val_split:
+        # reproduce the Trainer's seeded split (tpuseg/data/combined.py)
+        # and evaluate only its held-out val side — identical file set to
+        # what training's in-loop eval saw
+        combined = CombinedDataset(
+            [source], val_split=args.holdout_val_split,
+            seed=args.holdout_seed,
+        )
+        if combined.val_size == 0:
+            print("ERROR: holdout split is empty", file=sys.stderr)
+            return 1
+    else:
+        # val_split=1.0: the WHOLE dataset is the (deterministic) eval split
+        combined = CombinedDataset([source], val_split=1.0)
     pipeline = InputPipeline(
         combined, batch_size=args.batch, height=args.height, width=args.width
     )

@@ -13,7 +13,8 @@ reference training spec /root/reference/main.py:26-48):
     2. class-stats     pixel frequencies -> suggested --train.class_weights
     3. import-pth      torchvision mobilenet_v2 encoder import (if --pth)
     4. train           main.py on the real data (EMA on, loss configurable)
-    5. north-star      eval_miou on the val dir with the best checkpoint
+    5. north-star      eval_miou on held-out data (a val dir, or the
+                       trainer's own seeded 10% carve) with the best ckpt
     6. int8-gate       eval_quantized (calibrates AND scores on real data)
     7. tta             eval_miou --tta flip (the +0.4-pt 2x-FLOPs option)
 
@@ -97,8 +98,10 @@ def main(argv=None) -> int:
     p.add_argument("--data_dir", required=True,
                    help="train dataset root (bdd100k layout: images/ + masks/)")
     p.add_argument("--val_data_dir", default="",
-                   help="held-out val root (default: --data_dir with "
-                        "main.py's --data.val_split carving the split)")
+                   help="held-out val root; default: evaluate the "
+                        "trainer's OWN seeded 10%% holdout of --data_dir "
+                        "(eval_miou --holdout_val_split), never the "
+                        "trained-on files")
     p.add_argument("--kind", default="bdd100k",
                    choices=["bdd100k", "carla", "seame"])
     p.add_argument("--pth", default="",
@@ -143,6 +146,11 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
     val_dir = args.val_data_dir or args.data_dir
+    # No separate val dir: score the TRAINER'S OWN held-out split (same
+    # seeded carve, tools/eval_miou.py --holdout_val_split) instead of the
+    # whole training directory — 90% of which step 4 just trained on.
+    holdout = ([] if args.val_data_dir
+               else ["--holdout_val_split", "0.1", "--holdout_seed", "42"])
     steps: "dict[str, dict]" = {}
     t_start = time.time()
 
@@ -178,7 +186,16 @@ def main(argv=None) -> int:
     ])
     stats = _last_json(out)
     weights_flag = (stats or {}).get("flag", "")
-    record("2-class-stats", rc, weights_flag or "no suggestion")
+    stats_ok = record("2-class-stats", rc, weights_flag or "no suggestion")
+    if args.apply_weights and not (
+        stats_ok and weights_flag.startswith("--train.class_weights=")
+    ):
+        # the user asked for the measured imbalance remedy; silently
+        # training unweighted would defeat it (DESIGN §38/§42)
+        print("[first-contact] --apply_weights requested but class stats "
+              "produced no usable flag — aborting", flush=True)
+        _summary(steps, t_start, ok=False)
+        return 1
 
     # 3. pretrained encoder import
     init_ckpt = ""
@@ -236,10 +253,11 @@ def main(argv=None) -> int:
         _summary(steps, t_start, ok=False)
         return 1
 
-    # 5. the north-star number
+    # 5. the north-star number (held-out: a separate val dir, or the
+    #    trainer's own 10% carve when none was given)
     rc, out = _run_step(_load_tool("eval_miou").main, [
         "--data_dir", val_dir, "--kind", args.kind, "--checkpoint", best,
-        *size_args, *model_args, *plat,
+        *holdout, *size_args, *model_args, *plat,
     ])
     res = _last_json(out) or {}
     miou = res.get("miou")
@@ -263,8 +281,11 @@ def main(argv=None) -> int:
         ])
         int8_ok = record(
             "6-int8-gate", rc,
-            "all variants within 1 mIoU pt" if rc == 0
-            else "int8 delta exceeds gate — retrain with --train.qat=true")
+            ("all variants within 1 mIoU pt" if rc == 0
+             else "int8 delta exceeds gate — retrain with --train.qat=true")
+            + ("" if args.val_data_dir else
+               " [fp32-vs-int8 DELTA gate over --data_dir files: "
+               "calibration wants training-distribution data]"))
 
     # 7. TTA option (+0.43 pts measured at 2x eval FLOPs, DESIGN §33)
     if args.skip_tta:
@@ -274,14 +295,14 @@ def main(argv=None) -> int:
     else:
         rc, out = _run_step(_load_tool("eval_miou").main, [
             "--data_dir", val_dir, "--kind", args.kind, "--checkpoint", best,
-            "--tta", "flip", *size_args, *model_args, *plat,
+            "--tta", "flip", *holdout, *size_args, *model_args, *plat,
         ])
         tta = (_last_json(out) or {}).get("miou")
         delta = (f"mIoU {tta:.4f} ({(tta - miou) * 100:+.2f} pts vs plain)"
                  if tta is not None and miou is not None else "no result")
         tta_ok = record("7-tta", rc, delta)
 
-    ok = int8_ok and tta_ok
+    ok = stats_ok and int8_ok and tta_ok
     _summary(steps, t_start, ok=ok, miou=miou)
     return 0 if ok else 1
 

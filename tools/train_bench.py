@@ -59,6 +59,10 @@ def main(argv=None) -> int:
                         "bf16-rounding tolerance (DESIGN §21)")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
+    if args.eval and args.loss:
+        # the eval step runs a fixed CE+confusion program; accepting --loss
+        # here would write a falsely-tagged record into bench_history.json
+        p.error("--loss configures the TRAIN step; drop it with --eval")
 
     from tpuseg.core.platform import env_platform_override
 

@@ -114,7 +114,14 @@ def _pad_tiles(x, fill):
     return x.reshape(c, nt, 1, tile), tile, nt
 
 
-def _histograms(errors, fg, interpret):
+def _vma(psum_axes):
+    """Under shard_map with vma checking, a pallas_call must declare how
+    its outputs vary across the mesh: per-device histograms/lookups vary
+    across every sharded axis until the explicit psum."""
+    return {"vma": frozenset(psum_axes)} if psum_axes else {}
+
+
+def _histograms(errors, fg, interpret, psum_axes=()):
     """[C, NB] per-bin {count, fg-sum, error-sum} histograms."""
     c, p = errors.shape
     e_pad, tile, nt = _pad_tiles(errors, -1.0)
@@ -128,7 +135,9 @@ def _histograms(errors, fg, interpret):
         out_specs=pl.BlockSpec((1, 3 * _SIDE, _SIDE),
                                lambda ci, i: (ci, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, 3 * _SIDE, _SIDE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (c, 3 * _SIDE, _SIDE), jnp.float32, **_vma(psum_axes)
+        ),
         interpret=interpret,
     )(e_pad, fg_pad)
     # rows 0..15 = count, 16..31 = fg, 32..47 = error-sum; bin = 16a + d
@@ -158,7 +167,7 @@ def _coefficients(h_n, h_f, h_s):
     return coef, value
 
 
-def _lookup(errors, coef, interpret):
+def _lookup(errors, coef, interpret, psum_axes=()):
     c, p = errors.shape
     e_pad, tile, nt = _pad_tiles(errors, -1.0)
     blk = pl.BlockSpec((1, 1, 1, tile), lambda ci, i: (ci, i, 0, 0),
@@ -172,14 +181,16 @@ def _lookup(errors, coef, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((c, nt, 1, tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (c, nt, 1, tile), jnp.float32, **_vma(psum_axes)
+        ),
         interpret=interpret,
     )(e_pad, jnp.swapaxes(coef.reshape(c, _SIDE, _SIDE), 1, 2))
     return w.reshape(c, -1)[:, :p]
 
 
 def _fwd_impl(errors, fg, interpret, psum_axes):
-    h_n, h_f, h_s = _histograms(errors, fg, interpret)
+    h_n, h_f, h_s = _histograms(errors, fg, interpret, psum_axes)
     if psum_axes:
         # sharded batch (shard_map region): histograms are additive over
         # pixels, so ONE psum of the tiny [C, NB] stats globalizes them;
@@ -188,7 +199,7 @@ def _fwd_impl(errors, fg, interpret, psum_axes):
         # lookup stays local — no error-plane collective ever happens.
         h_n, h_f, h_s = jax.lax.psum((h_n, h_f, h_s), psum_axes)
     coef, value = _coefficients(h_n, h_f, h_s)
-    w = _lookup(errors, coef, interpret)
+    w = _lookup(errors, coef, interpret, psum_axes)
     # `value` (the histogram telescoped sum) == sum_global(e * w) to f32
     # rounding; returning it keeps the forward collective-free beyond the
     # histogram psum, and the saved residual w IS the local gradient.
@@ -222,3 +233,82 @@ def lovasz_binned_pallas(errors, fg, interpret=False, psum_axes=()):
     per-shard inside a shard_map region (make_loss_fn wires this up).
     """
     return _make_op(bool(interpret), tuple(psum_axes))(errors, fg)
+
+
+def make_sharded_lovasz(mesh, spatial=False, ignore_index=None,
+                        interpret=False):
+    """Multi-device lovasz at the logits level: forward-only shard_map.
+
+    Autodiff cannot safely transpose a shard_map whose region holds a
+    pallas_call: vma checking rejects the kernel's out_shape (and the
+    interpret lowering trips on declared vma), while ``check_vma=False``
+    silently scales the transpose cotangent by 1/mesh.size (both measured,
+    tests/test_loss.py). So nothing here is ever transposed: the region
+    computes BOTH the loss value and the analytic logits-gradient with
+    forward-only ops — per-device histograms, ONE [C, bins] psum, local
+    coefficient lookups, then the closed-form softmax chain
+
+        dL/dz_k = wt_k * p_k - p_k * sum_c wt_c * p_c,
+        wt_c    = w_c * sign(p_c - fg_c) * valid
+
+    (the exact jacobian-vector product autodiff would build from
+    loss = sum |fg - p| * stop_grad(w)) — and a custom_vjp OUTSIDE the
+    shard_map returns g * grad. ``targets`` rides as float so the vjp can
+    hand back an ordinary zero cotangent.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axes = ("data",) + (("spatial",) if spatial else ())
+    spec_x = P("data", "spatial" if spatial else None, None, None)
+    spec_y = P("data", "spatial" if spatial else None, None)
+
+    def region(logits, targets_f):
+        dtype = jnp.promote_types(logits.dtype, jnp.float32)
+        targets = targets_f.astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits.astype(dtype), axis=-1)
+        onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=dtype)
+        probs = jnp.exp(logp)
+        c = logits.shape[-1]
+        fg = jnp.reshape(onehot, (-1, c)).T                   # [C, P]
+        pr = jnp.reshape(probs, (-1, c)).T
+        errors = jnp.abs(fg - pr)
+        if ignore_index is not None:
+            valid = (targets != ignore_index).astype(dtype).reshape(1, -1)
+            fg = fg * valid
+            errors = errors * valid
+        h_n, h_f, h_s = _histograms(errors, fg, interpret)
+        h_n, h_f, h_s = jax.lax.psum((h_n, h_f, h_s), axes)
+        coef, value = _coefficients(h_n, h_f, h_s)
+        w = _lookup(errors, coef, interpret)                  # [C, P]
+        wt = w * jnp.sign(pr - fg)
+        if ignore_index is not None:
+            wt = wt * valid
+        wt_img = jnp.reshape(wt.T, probs.shape)               # [B,H,W,C]
+        wp = wt_img * probs
+        grad = wp - probs * jnp.sum(wp, axis=-1, keepdims=True)
+        return value, grad.astype(dtype)
+
+    sm = jax.shard_map(
+        region, mesh=mesh, in_specs=(spec_x, spec_y),
+        out_specs=(P(), spec_x), check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def op(logits, targets_f):
+        v, _ = sm(logits, targets_f)
+        return v
+
+    def fwd(logits, targets_f):
+        v, grad = sm(logits, targets_f)
+        return v, (grad, jnp.zeros_like(targets_f))
+
+    def bwd(res, g):
+        grad, zeros_t = res
+        return g * grad, zeros_t
+
+    op.defvjp(fwd, bwd)
+
+    def fn(logits, targets):
+        return op(logits, targets.astype(jnp.float32))
+
+    return fn

@@ -335,6 +335,17 @@ def _maybe_sharded_lovasz(ignore_index, bins, mesh, spatial):
         return lambda lg, tg: lovasz_softmax_loss(
             lg, tg, ignore_index=ignore_index, bins=bins
         )
+    if bins == 256 and _lovasz_pallas_enabled():
+        # TPU: the forward-only shard_map region (local Pallas kernels +
+        # one [C, bins] psum + analytic logits-gradient) with the
+        # custom_vjp OUTSIDE — autodiff cannot safely transpose a
+        # shard_map holding a pallas_call (tests/test_loss.py pins the
+        # 1/mesh.size cotangent bug that check_vma=False would hide).
+        from tpuseg.ops.lovasz_pallas import make_sharded_lovasz
+
+        return make_sharded_lovasz(
+            mesh, spatial=spatial, ignore_index=ignore_index
+        )
     from jax.sharding import PartitionSpec as P
 
     axes = ("data",) + (("spatial",) if spatial else ())
@@ -442,15 +453,15 @@ def make_loss_fn(
             return lv(logits, targets)
     elif name in ("ce+lovasz", "lovasz+ce"):
         dw = float(dice_weight)
+        lv_mix = _maybe_sharded_lovasz(ignore_index, lovasz_bins, mesh,
+                                       spatial)
+
         def fn(logits, targets):
             ce = cross_entropy_loss(
                 logits, targets, class_weights=w,
                 label_smoothing=label_smoothing, ignore_index=ignore_index,
             )
-            lov = _maybe_sharded_lovasz(
-                ignore_index, lovasz_bins, mesh, spatial
-            )(logits, targets)
-            return (1.0 - dw) * ce + dw * lov
+            return (1.0 - dw) * ce + dw * lv_mix(logits, targets)
     else:
         raise ValueError(
             f"unknown loss {name!r}: expected "
