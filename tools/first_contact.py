@@ -16,7 +16,8 @@ reference training spec /root/reference/main.py:26-48):
     5. north-star      eval_miou on held-out data (a val dir, or the
                        trainer's own seeded 10% carve) with the best ckpt
     6. int8-gate       eval_quantized (calibrates AND scores on real data)
-    7. tta             eval_miou --tta flip (the +0.4-pt 2x-FLOPs option)
+    7. tta             eval_miou --tta ms (the better 2x spend: +0.87 pts
+                       measured vs flip's +0.43 — DESIGN §43)
 
 Every step calls the SAME tool entry points the README documents — this
 file only sequences them in one process (one TPU client: back-to-back
@@ -287,7 +288,8 @@ def main(argv=None) -> int:
                " [fp32-vs-int8 DELTA gate over --data_dir files: "
                "calibration wants training-distribution data]"))
 
-    # 7. TTA option (+0.43 pts measured at 2x eval FLOPs, DESIGN §33)
+    # 7. TTA option: multi-scale, the measured best per-FLOP spend
+    #    (+0.87 pts at ~2.1x vs flip's +0.43 at 2x — DESIGN §43)
     if args.skip_tta:
         steps["7-tta"] = {"status": "SKIP"}
         print("[first-contact] 7-tta: SKIP", flush=True)
@@ -295,7 +297,7 @@ def main(argv=None) -> int:
     else:
         rc, out = _run_step(_load_tool("eval_miou").main, [
             "--data_dir", val_dir, "--kind", args.kind, "--checkpoint", best,
-            "--tta", "flip", *holdout, *size_args, *model_args, *plat,
+            "--tta", "ms", *holdout, *size_args, *model_args, *plat,
         ])
         tta = (_last_json(out) or {}).get("miou")
         delta = (f"mIoU {tta:.4f} ({(tta - miou) * 100:+.2f} pts vs plain)"
