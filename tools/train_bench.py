@@ -52,6 +52,11 @@ def main(argv=None) -> int:
     p.add_argument("--eval", action="store_true",
                    help="benchmark the eval step (fwd + loss + confusion "
                         "matrix) instead of the train step")
+    p.add_argument("--tta", default="",
+                   choices=["", "flip", "ms", "flip+ms"],
+                   help="with --eval: measure the TTA step's real cost "
+                        "(DESIGN §43 quotes FLOPs multiples; this measures "
+                        "imgs/s)")
     p.add_argument("--bf16_head", action="store_true",
                    help="run the final x2 upsample contraction in the "
                         "compute dtype (model.head_fp32=false): halves the "
@@ -63,6 +68,8 @@ def main(argv=None) -> int:
         # the eval step runs a fixed CE+confusion program; accepting --loss
         # here would write a falsely-tagged record into bench_history.json
         p.error("--loss configures the TRAIN step; drop it with --eval")
+    if args.tta and not args.eval:
+        p.error("--tta measures the EVAL step; add --eval")
 
     from tpuseg.core.platform import env_platform_override
 
@@ -101,7 +108,7 @@ def main(argv=None) -> int:
     if args.eval:
         from tpuseg.train.train_step import make_eval_step
 
-        eval_step = make_eval_step(10)
+        eval_step = make_eval_step(10, tta=args.tta)
 
         # The eval step is stateless, so the scan threads a scalar carry
         # INTO the inputs (bench.py's honesty trick) — otherwise XLA hoists
@@ -217,6 +224,7 @@ def main(argv=None) -> int:
                 "bf16_head": bool(args.bf16_head), "steps": args.steps,
                 "loss_name": args.loss or "ce_default",
                 "lovasz_bins": args.lovasz_bins,
+                "tta": args.tta,
             },
             "t": time.time(),
         }
