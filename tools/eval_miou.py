@@ -66,6 +66,11 @@ def main(argv=None) -> int:
                    help='comma-separated, e.g. "0.5,0.5,0.5" — must match '
                         "the training normalization (default: ImageNet)")
     p.add_argument("--normalize_std", default="")
+    p.add_argument("--ms_scales", default="0.75,1.25",
+                   help="multi-scale TTA scale factors (comma floats, "
+                        "snapped to the encoder's /32 pyramid); 0.5,1.5 "
+                        "lands on MXU-friendlier shapes — measured A/B in "
+                        "DESIGN §43c")
     p.add_argument("--tta", default="", choices=["", "flip", "ms", "flip+ms"],
                    help="test-time augmentation: 'flip' averages logits "
                         "with the horizontally-mirrored forward (2x eval "
@@ -201,7 +206,10 @@ def main(argv=None) -> int:
     # normalize + cast fused into the jitted step: eager per-batch ops cost
     # a remote-tunnel dispatch each (DESIGN §22)
     eval_step = make_eval_step(
-        args.num_classes, normalize=(mean, std), tta=args.tta
+        args.num_classes, normalize=(mean, std), tta=args.tta,
+        ms_scales=tuple(
+            float(s) for s in args.ms_scales.split(",") if s.strip()
+        ),
     )
 
     outs = []

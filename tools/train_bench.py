@@ -57,6 +57,8 @@ def main(argv=None) -> int:
                    help="with --eval: measure the TTA step's real cost "
                         "(DESIGN §43 quotes FLOPs multiples; this measures "
                         "imgs/s)")
+    p.add_argument("--ms_scales", default="0.75,1.25",
+                   help="multi-scale TTA factors for --tta ms|flip+ms")
     p.add_argument("--bf16_head", action="store_true",
                    help="run the final x2 upsample contraction in the "
                         "compute dtype (model.head_fp32=false): halves the "
@@ -108,7 +110,11 @@ def main(argv=None) -> int:
     if args.eval:
         from tpuseg.train.train_step import make_eval_step
 
-        eval_step = make_eval_step(10, tta=args.tta)
+        eval_step = make_eval_step(
+            10, tta=args.tta,
+            ms_scales=tuple(float(s) for s in args.ms_scales.split(",")
+                            if s.strip()),
+        )
 
         # The eval step is stateless, so the scan threads a scalar carry
         # INTO the inputs (bench.py's honesty trick) — otherwise XLA hoists
@@ -225,6 +231,7 @@ def main(argv=None) -> int:
                 "loss_name": args.loss or "ce_default",
                 "lovasz_bins": args.lovasz_bins,
                 "tta": args.tta,
+                "ms_scales": args.ms_scales if "ms" in args.tta else "",
             },
             "t": time.time(),
         }
