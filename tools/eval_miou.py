@@ -73,10 +73,14 @@ def main(argv=None) -> int:
                         "DESIGN §43c")
     p.add_argument("--tta", default="", choices=["", "flip", "ms", "flip+ms"],
                    help="test-time augmentation: 'flip' averages logits "
-                        "with the horizontally-mirrored forward (2x eval "
-                        "FLOPs; valid for left/right-symmetric classes); "
-                        "'ms' averages forwards at 0.75/1.0/1.25 scale "
-                        "(~2.1x FLOPs); 'flip+ms' composes both (~4.2x)")
+                        "with the horizontally-mirrored forward (+0.43 "
+                        "mIoU pts at a MEASURED 1.66x eval wall-clock; "
+                        "valid for left/right-symmetric classes); 'ms' "
+                        "averages forwards at 0.75/1.0/1.25 scale (+0.87 "
+                        "pts at 4.75x — the off-size forwards tile poorly, "
+                        "so wall-clock far exceeds the ~2.1x FLOPs); "
+                        "'flip+ms' composes both (+1.14 pts at 6.76x). "
+                        "DESIGN §43/§43b")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 

@@ -16,8 +16,10 @@ reference training spec /root/reference/main.py:26-48):
     5. north-star      eval_miou on held-out data (a val dir, or the
                        trainer's own seeded 10% carve) with the best ckpt
     6. int8-gate       eval_quantized (calibrates AND scores on real data)
-    7. tta             eval_miou --tta ms (the better 2x spend: +0.87 pts
-                       measured vs flip's +0.43 — DESIGN §43)
+    7. tta             eval_miou --tta ms (the quality spend: +0.87 pts
+                       measured vs flip's +0.43, at a MEASURED 4.75x
+                       eval wall-clock vs flip's 1.66x — DESIGN §43/§43b;
+                       acceptable here because this step evals once)
 
 Every step calls the SAME tool entry points the README documents — this
 file only sequences them in one process (one TPU client: back-to-back
@@ -288,8 +290,9 @@ def main(argv=None) -> int:
                " [fp32-vs-int8 DELTA gate over --data_dir files: "
                "calibration wants training-distribution data]"))
 
-    # 7. TTA option: multi-scale, the measured best per-FLOP spend
-    #    (+0.87 pts at ~2.1x vs flip's +0.43 at 2x — DESIGN §43)
+    # 7. TTA option: multi-scale, the measured quality spend (+0.87 pts
+    #    vs flip's +0.43; wall-clock 4.75x vs 1.66x — the FLOPs estimate
+    #    understated ms by >2x, DESIGN §43b). One-shot eval: spend it.
     if args.skip_tta:
         steps["7-tta"] = {"status": "SKIP"}
         print("[first-contact] 7-tta: SKIP", flush=True)

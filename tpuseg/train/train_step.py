@@ -353,6 +353,10 @@ def make_eval_step(
         arbitrary-ratio EDGE resize, per the §29 rule) and averaged in
         fp32. ~2.1x eval FLOPs at the default scales. "flip+ms" composes
         both (flip-averaged forward at every scale, ~4.2x FLOPs).
+      Cost caveat: FLOPs multiples UNDERSTATE measured wall-clock — the
+        off-size ms forwards tile poorly on the MXU (flip 1.66x, ms 4.75x,
+        flip+ms 6.76x measured; DESIGN §43b). tools/train_bench.py --eval
+        --tta measures the real cost of any configuration.
     """
     if tta not in ("", "flip", "ms", "flip+ms"):
         raise ValueError(
