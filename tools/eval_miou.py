@@ -77,10 +77,11 @@ def main(argv=None) -> int:
                         "mIoU pts at a MEASURED 1.66x eval wall-clock; "
                         "valid for left/right-symmetric classes); 'ms' "
                         "averages forwards at 0.75/1.0/1.25 scale (+0.87 "
-                        "pts at 4.75x — the off-size forwards tile poorly, "
-                        "so wall-clock far exceeds the ~2.1x FLOPs); "
+                        "pts at 4.75x — upper-scale pixel count + fp32 "
+                        "logit resize/accumulate HBM traffic, so wall-clock "
+                        "far exceeds the ~2.1x FLOPs; DESIGN §43c); "
                         "'flip+ms' composes both (+1.14 pts at 6.76x). "
-                        "DESIGN §43/§43b")
+                        "DESIGN §43/§43b/§43c")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 

@@ -354,9 +354,11 @@ def make_eval_step(
         fp32. ~2.1x eval FLOPs at the default scales. "flip+ms" composes
         both (flip-averaged forward at every scale, ~4.2x FLOPs).
       Cost caveat: FLOPs multiples UNDERSTATE measured wall-clock — the
-        off-size ms forwards tile poorly on the MXU (flip 1.66x, ms 4.75x,
-        flip+ms 6.76x measured; DESIGN §43b). tools/train_bench.py --eval
-        --tta measures the real cost of any configuration.
+        upper scale dominates pixel count and the fp32 logit
+        resize/accumulate traffic is the HBM wall (flip 1.66x, ms 4.75x,
+        flip+ms 6.76x measured; the MXU-tiling hypothesis was A/B-refuted,
+        DESIGN §43b/§43c). tools/train_bench.py --eval --tta measures the
+        real cost of any configuration.
     """
     if tta not in ("", "flip", "ms", "flip+ms"):
         raise ValueError(
