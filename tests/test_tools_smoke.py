@@ -148,6 +148,53 @@ def test_make_demo_video_smoke(capsys, tmp_path):
     assert n == 10
 
 
+def test_video_headline_smoke(monkeypatch, capsys, tmp_path):
+    """tools/video_headline.py (VERDICT r4 item 3) drives the gated
+    protocol end-to-end on CPU: every attempt carries the tunnel_ok AND
+    clause_binding verdicts, a headline requires the consecutive-gated
+    streak, and a cpu run never writes history."""
+    pytest.importorskip("cv2")
+    import importlib.util as ilu
+    import json as _json
+    import sys as _sys
+
+    hist = tmp_path / "hist.json"
+    monkeypatch.setenv("TPUSEG_BENCH_HISTORY", str(hist))
+
+    def load(name):
+        spec = ilu.spec_from_file_location(
+            f"vh_{name}", os.path.join(REPO, "tools", f"{name}.py")
+        )
+        mod = ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    clip = str(tmp_path / "clip.mp4")
+    load("make_demo_video").main(clip, frames=12, w=64, h=36)
+    vh = load("video_headline")
+    # clause_binding is pure arithmetic on the stats dict
+    assert vh.clause_binding({"seconds": 2.0}) is True
+    assert vh.clause_binding({"seconds": 0.4}) is False
+
+    rc = vh.main([
+        "--video", clip, "--checkpoint", "", "--attempts", "2",
+        "--required", "1", "--spacing", "0", "--platform", "cpu",
+        "--batch", "4", "--width", "64", "--height", "32",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = _json.loads(out)
+    assert rec["attempts"] and rec["frames"] == 12
+    for a in rec["attempts"]:
+        assert set(a) >= {"fps", "tunnel_ok", "clause_binding", "gated"}
+        assert a["gated"] == (a["tunnel_ok"] and a["clause_binding"])
+    assert rec["earned"] == (rc == 0)
+    if rec["earned"]:
+        assert len(rec["gated_runs"]) >= 1 and rec["headline_fps"] > 0
+    assert not hist.exists()  # cpu runs never pollute history
+    _sys.modules.pop("vh_video_headline", None)
+    _sys.modules.pop("vh_make_demo_video", None)
+
+
 def test_eval_quantized_real_dataset(monkeypatch, capsys, tmp_path):
     """--data_dir: the int8 acceptance gate runs on a real dataset layout
     (first-contact checklist step 6) — eval AND calibration read real files."""
@@ -357,14 +404,29 @@ def test_convergence_sweep_smoke(monkeypatch, capsys, tmp_path):
         "--train.log_every=0",
         '--data.sources=[{"kind":"synthetic","num_samples":24,"weight":1.0}]',
     ]
-    runs = [["ce_t", tiny], ["dice_t", tiny + ["--train.loss=dice"]]]
+    # a held-out on-disk dir for the post-eval path (VERDICT r4 item 1:
+    # the composed-recipe measurement scores every run's best ckpt on the
+    # same fixture, optionally with TTA, all in one client)
+    val_dir = tmp_path / "val"
+    rc = _run_tool(
+        "export_synthetic_dataset",
+        ["--out", str(val_dir), "--num", "8", "--seed", "9",
+         "--width", "32", "--height", "16"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    runs = [["ce_t", tiny],
+            ["dice_t", tiny + ["--train.loss=dice"]]]
     runs_path = tmp_path / "runs.json"
     runs_path.write_text(json.dumps(runs))
     out = tmp_path / "sw"
 
     rc = _run_tool(
         "convergence_sweep",
-        ["--runs", str(runs_path), "--out", str(out), "--epochs", "1"],
+        ["--runs", str(runs_path), "--out", str(out), "--epochs", "1",
+         "--eval_dir_bal", str(val_dir), "--post_eval_tta", "flip",
+         "--eval_args",
+         "--model unet --base_filters 4 --width 32 --height 16"],
         monkeypatch, tmp_path,
     )
     assert rc == 0
@@ -374,6 +436,8 @@ def test_convergence_sweep_smoke(monkeypatch, capsys, tmp_path):
     for r in recs:
         assert r["ok"] is True and r["epochs"] == 1
         assert 0.0 <= r["val_miou"] <= 1.0
+        assert 0.0 <= r["holdout_miou"] <= 1.0
+        assert 0.0 <= r["holdout_miou_flip"] <= 1.0
     assert (out / "dice_t" / "history.jsonl").exists()
 
     # idempotent: completed runs are skipped, summary not re-appended

@@ -55,6 +55,35 @@ PRESETS = {
                          "--train.class_weights=auto"]],
         ["focal_imb", [f"--data.sources={IMB}", "--train.loss=focal"]],
     ],
+    # The composed first-contact recipe vs its ingredients (VERDICT r4
+    # item 1): every measured solo winner — lovász (§41), EMA (§30),
+    # auto-weights-where-legal (§42), ms-TTA (§43, applied at the
+    # post-eval below) — has only SOLO verdicts; this grid measures the
+    # COMPOSITIONS on both protocol arms under identical seeds. Pure
+    # lovász refuses class_weights by design, so the imbalanced-arm
+    # weighted composition rides ce+lovasz (the CE term takes the
+    # weights). Run with --eval_dir_bal/--eval_dir_imb +
+    # --post_eval_tta ms to score every row's best ckpt on the SAME
+    # held-out on-disk set with and without TTA.
+    "composed_recipe": [
+        ["ce", []],
+        ["lovasz", ["--train.loss=lovasz"]],
+        ["ce_lovasz", ["--train.loss=ce+lovasz"]],
+        ["lovasz_ema", ["--train.loss=lovasz",
+                        "--train.ema_decay=0.999"]],
+        ["ce_lovasz_ema", ["--train.loss=ce+lovasz",
+                           "--train.ema_decay=0.999"]],
+        ["ce_imb", [f"--data.sources={IMB}"], {"eval": "imb"}],
+        ["lovasz_imb", [f"--data.sources={IMB}", "--train.loss=lovasz"],
+         {"eval": "imb"}],
+        ["lovasz_ema_imb",
+         [f"--data.sources={IMB}", "--train.loss=lovasz",
+          "--train.ema_decay=0.999"], {"eval": "imb"}],
+        ["ce_lovasz_w_ema_imb",
+         [f"--data.sources={IMB}", "--train.loss=ce+lovasz",
+          "--train.class_weights=auto", "--train.ema_decay=0.999"],
+         {"eval": "imb"}],
+    ],
 }
 
 
@@ -101,6 +130,25 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--list", action="store_true",
                    help="print the resolved grid and exit (no device work)")
+    p.add_argument("--eval_dir_bal", default="",
+                   help="held-out on-disk dataset (bdd100k layout) to score "
+                        "each run's best checkpoint against after training "
+                        "(tools/export_synthetic_dataset.py output; "
+                        "balanced-arm runs)")
+    p.add_argument("--eval_dir_imb", default="",
+                   help="same for runs tagged {\"eval\": \"imb\"} (the "
+                        "imbalanced protocol arm: export with "
+                        "--car_prob 0.12 --car_scale 0.45)")
+    p.add_argument("--post_eval_tta", default="",
+                   choices=["", "flip", "ms", "flip+ms"],
+                   help="ALSO score each best ckpt with this TTA mode — "
+                        "the composed-recipe measurement (does the +0.87 "
+                        "ms-TTA gain stack on the composed training "
+                        "wins?); both numbers are recorded per run")
+    p.add_argument("--eval_args", default="",
+                   help="extra eval_miou flags, space-separated (model/"
+                        "size when a grid deviates from the protocol "
+                        "defaults)")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -115,13 +163,17 @@ def main(argv=None) -> int:
     else:
         p.error("pass --runs FILE or --preset NAME")
     for entry in grid:
-        if (len(entry) != 2 or not isinstance(entry[0], str)
-                or not isinstance(entry[1], list)):
-            p.error(f"bad grid entry {entry!r}: want [name, [flags...]]")
+        if (len(entry) not in (2, 3) or not isinstance(entry[0], str)
+                or not isinstance(entry[1], list)
+                or (len(entry) == 3 and not isinstance(entry[2], dict))):
+            p.error(f"bad grid entry {entry!r}: want "
+                    "[name, [flags...]] or [name, [flags...], {opts}]")
 
     if args.list:
-        for name, extra in grid:
-            print(json.dumps({"name": name, "extra": extra}))
+        for entry in grid:
+            name, extra = entry[0], entry[1]
+            opts = entry[2] if len(entry) == 3 else {}
+            print(json.dumps({"name": name, "extra": extra, **opts}))
         return 0
 
     import logging
@@ -148,9 +200,51 @@ def main(argv=None) -> int:
     from tpuseg.configs import load_config
     from tpuseg.train.trainer import Trainer
 
+    def post_eval(ckdir: str, data_dir: str, tta: str):
+        """Score <ckdir>/best on a held-out on-disk dir via eval_miou's own
+        entry point, in-process (same client). Returns the parsed record or
+        None."""
+        import contextlib
+        import importlib.util
+        import io
+
+        spec = importlib.util.spec_from_file_location(
+            "_sweep_eval_miou",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "eval_miou.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        buf = io.StringIO()
+        argv = ["--data_dir", data_dir,
+                "--checkpoint", os.path.join(ckdir, "best")]
+        if tta:
+            argv += ["--tta", tta]
+        argv += [a for a in args.eval_args.split() if a]
+        try:
+            with contextlib.redirect_stdout(buf):
+                rc = mod.main(argv)
+        except Exception as e:  # an eval crash must not kill the sweep
+            print(f"post-eval failed: {type(e).__name__}: {e}", flush=True)
+            return None
+        if rc != 0:
+            return None
+        for line in reversed(buf.getvalue().strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+        return None
+
     os.makedirs(args.out, exist_ok=True)
     summary_path = os.path.join(args.out, "sweep.jsonl")
-    for name, extra in grid:
+    for entry in grid:
+        name, extra = entry[0], entry[1]
+        opts = entry[2] if len(entry) == 3 else {}
+        eval_dir = (args.eval_dir_imb if opts.get("eval") == "imb"
+                    else args.eval_dir_bal)
         ckdir = os.path.join(args.out, name)
         hist = os.path.join(ckdir, "history.jsonl")
         if run_complete(hist, args.epochs):
@@ -183,6 +277,20 @@ def main(argv=None) -> int:
             rec["val_miou"] = fin.get("val_miou")
             per = fin.get("val_iou_per_class") or []
             rec["car_iou"] = per[2] if len(per) > 2 else None
+        if ok and eval_dir:
+            # held-out on-disk score (same fixture for every run) — and,
+            # with --post_eval_tta, the TTA-composed score: the recipe's
+            # full measured verdict from one client
+            res = post_eval(ckdir, eval_dir, "")
+            if res:
+                rec["holdout_miou"] = res.get("miou")
+                per = res.get("iou_per_class") or []
+                rec["holdout_car_iou"] = per[2] if len(per) > 2 else None
+            if args.post_eval_tta:
+                res_t = post_eval(ckdir, eval_dir, args.post_eval_tta)
+                if res_t:
+                    rec[f"holdout_miou_{args.post_eval_tta}"] = \
+                        res_t.get("miou")
         with open(summary_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(f"=== {name}: done {rec} ===", flush=True)

@@ -58,6 +58,13 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=128)
     p.add_argument("--jpeg", action="store_true",
                    help="write .jpg images (lossy) instead of .png")
+    p.add_argument("--car_prob", type=float, default=1.0,
+                   help="imbalanced-arm rehearsal: probability a scene "
+                        "draws cars (protocol: 0.12 — DESIGN §38)")
+    p.add_argument("--car_scale", type=float, default=1.0,
+                   help="imbalanced-arm car size multiplier (protocol: "
+                        "0.45; with car_prob 0.12 the car class is 0.067% "
+                        "of pixels)")
     args = p.parse_args(argv)
 
     import cv2
@@ -67,7 +74,8 @@ def main(argv=None) -> int:
 
     class_map = BDD100K_CLASS_MAP if args.kind == "bdd100k" else CARLA_CLASS_MAP
     inv = inverse_lut(class_map)
-    src = SyntheticSource(args.num, args.width, args.height, seed=args.seed)
+    src = SyntheticSource(args.num, args.width, args.height, seed=args.seed,
+                          car_prob=args.car_prob, car_scale=args.car_scale)
 
     img_dir = os.path.join(args.out, "images")
     mask_dir = os.path.join(args.out, "masks")
@@ -87,6 +95,7 @@ def main(argv=None) -> int:
     meta = {
         "kind": args.kind, "count": args.num, "seed": args.seed,
         "width": args.width, "height": args.height,
+        "car_prob": args.car_prob, "car_scale": args.car_scale,
         "classes_present": sorted(
             int(c) for c in np.unique(src.load(0)[1])
         ),

@@ -59,6 +59,15 @@ def main(argv=None) -> int:
                         "imgs/s)")
     p.add_argument("--ms_scales", default="0.75,1.25",
                    help="multi-scale TTA factors for --tta ms|flip+ms")
+    p.add_argument("--mu_dtype", default="",
+                   help="storage dtype for Adam's first moment (optax "
+                        "mu_dtype; '' = fp32 parity, 'bfloat16' halves "
+                        "that tree's HBM traffic — the last §15 byte "
+                        "lever, DESIGN §46)")
+    p.add_argument("--grads_bf16", action="store_true",
+                   help="cast gradients to bf16 between backward and the "
+                        "optimizer update (halves materialized-gradient "
+                        "traffic; DESIGN §46)")
     p.add_argument("--bf16_head", action="store_true",
                    help="run the final x2 upsample contraction in the "
                         "compute dtype (model.head_fp32=false): halves the "
@@ -96,8 +105,15 @@ def main(argv=None) -> int:
         ModelConfig(name=args.model, compute_dtype=args.dtype,
                     head_fp32=not args.bf16_head)
     )
+    tx = None
+    if args.mu_dtype:
+        import optax
+
+        # same construction as Trainer._build_optimizer's mu_dtype branch
+        tx = optax.adam(1.5e-4, mu_dtype=jnp.dtype(args.mu_dtype))
     state = create_train_state(
-        model, jax.random.PRNGKey(0), (1, args.height, args.width, 3)
+        model, jax.random.PRNGKey(0), (1, args.height, args.width, 3),
+        tx=tx,
     )
     # create_train_state returns HOST (numpy) leaves — the Trainer packs
     # them to the device; a bench must too, or every timed chain call
@@ -138,7 +154,7 @@ def main(argv=None) -> int:
 
             loss_fn = make_loss_fn(args.loss, lovasz_bins=args.lovasz_bins)
         step = make_train_step(donate=False, remat=args.remat,
-                               loss_fn=loss_fn)
+                               loss_fn=loss_fn, grads_bf16=args.grads_bf16)
         cost_lowered = lambda: step.lower(state, x, y)
 
     rng = np.random.RandomState(0)
@@ -230,6 +246,8 @@ def main(argv=None) -> int:
                 "bf16_head": bool(args.bf16_head), "steps": args.steps,
                 "loss_name": args.loss or "ce_default",
                 "lovasz_bins": args.lovasz_bins,
+                "mu_dtype": args.mu_dtype,
+                "grads_bf16": bool(args.grads_bf16),
                 "tta": args.tta,
                 "ms_scales": args.ms_scales if "ms" in args.tta else "",
             },

@@ -114,6 +114,19 @@ class TrainConfig:
     lr_schedule: str = ""                # "" (constant) | "cosine"
     warmup_steps: int = 0
     optimizer: str = "adam"              # "adam" | "adamw" | "sgd"
+    # Reduced-precision optimizer state: storage dtype for Adam/AdamW's
+    # first moment (optax mu_dtype) or SGD's momentum accumulator.
+    # "" = fp32 (the reference-parity default, torch Adam state is fp32 —
+    # src/train.py:37-39). "bfloat16" halves that tree's HBM traffic on a
+    # bandwidth-bound step (the last §15 byte lever; measured verdict in
+    # DESIGN §46). The second moment stays fp32 (optax has no nu_dtype;
+    # nu's dynamic range is also the fragile one under bf16's 8 mantissa
+    # bits).
+    mu_dtype: str = ""
+    # Cast gradients to bf16 between backward and optimizer update: halves
+    # the materialized-gradient HBM traffic (write at backward, read at
+    # update). Off by default (fp32 grads = parity). DESIGN §46.
+    grads_bf16: bool = False
     weight_decay: float = 1e-4           # adamw only
     momentum: float = 0.9                # sgd only
     # Loss selection (reference: plain CrossEntropyLoss, main.py:99).
@@ -144,6 +157,17 @@ class TrainConfig:
     steps_per_epoch: int = 0             # 0 = derive from dataset size
     log_every: int = 50
     eval_every_epochs: int = 1
+    # Test-time augmentation for the IN-TRAINING val eval ("" | "flip" |
+    # "ms" | "flip+ms" — same ladder as tools/eval_miou.py --tta). When
+    # set, early stopping and best-checkpoint selection optimize the TTA
+    # metric (the number deployment will see if it also runs TTA). Off by
+    # default: measured eval wall-clock is 1.66x/4.75x/6.76x per epoch
+    # (DESIGN §43b/§43c), and the best-ckpt ordering under plain vs TTA
+    # eval agreed in every measured protocol run, so the default spends
+    # nothing. eval_tta_scales mirrors --ms_scales (0.5,1.5 measured
+    # losing on BOTH axes — DESIGN §43c).
+    eval_tta: str = ""
+    eval_tta_scales: Tuple[float, ...] = (0.75, 1.25)
     # Stop after this many consecutive evals without val-mIoU improving by
     # more than early_stop_min_delta (requires a val split). 0 = off (the
     # reference always runs all 200 epochs, src/train.py:22).

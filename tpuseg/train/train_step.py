@@ -101,6 +101,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     extra_collections: Optional[dict] = None,
     teacher_fn: Optional[Callable] = None,
+    grads_bf16: bool = False,
 ) -> Callable:
     """Build the jitted (state, images, labels) -> (state, metrics) step.
 
@@ -132,6 +133,7 @@ def make_train_step(
         remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
         compute_loss=loss_fn, ema_decay=ema_decay,
         extra_collections=extra_collections, teacher_fn=teacher_fn,
+        grads_bf16=grads_bf16,
     )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -180,6 +182,7 @@ def _step_body(
     ema_decay: float = 0.0,
     extra_collections: Optional[dict] = None,
     teacher_fn: Optional[Callable] = None,
+    grads_bf16: bool = False,
 ) -> Callable:
     """The un-jitted single-step body shared by the step factories.
 
@@ -218,6 +221,14 @@ def _step_body(
         (loss, new_batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state, images, labels, teacher_logits)
+        if grads_bf16:
+            # halve the materialized-gradient HBM traffic (write at
+            # backward, read at the update) on a bandwidth-bound step;
+            # Adam's moment updates still accumulate in the moment dtype
+            # (--train.grads_bf16, measured verdict DESIGN §46)
+            grads = jax.tree.map(
+                lambda g: g.astype(jnp.bfloat16), grads
+            )
         state = state.apply_gradients(grads=grads, batch_stats=new_batch_stats)
         if ema_decay > 0.0:
             # plain tree-map: two fused HBM streams over the param bytes,
@@ -264,6 +275,7 @@ def make_train_multi_step(
     ema_decay: float = 0.0,
     extra_collections: Optional[dict] = None,
     teacher_fn: Optional[Callable] = None,
+    grads_bf16: bool = False,
 ) -> Callable:
     """K train steps per dispatch via ``lax.scan`` — ONE compiled program,
     ONE host->device round trip, per K optimizer updates.
@@ -285,6 +297,7 @@ def make_train_multi_step(
         remat, augment_fn, constrain=_spatial_constraint(mesh, spatial),
         compute_loss=loss_fn, ema_decay=ema_decay,
         extra_collections=extra_collections, teacher_fn=teacher_fn,
+        grads_bf16=grads_bf16,
     )
 
     def multi_step(state: TrainState, images, masks, keys):

@@ -184,6 +184,7 @@ class Trainer:
                 ema_decay=cfg.train.ema_decay,
                 extra_collections=extra_collections,
                 teacher_fn=teacher_fn,
+                grads_bf16=cfg.train.grads_bf16,
             )
         else:
             self.train_step = make_train_step(
@@ -195,12 +196,19 @@ class Trainer:
                 ema_decay=cfg.train.ema_decay,
                 extra_collections=extra_collections,
                 teacher_fn=teacher_fn,
+                grads_bf16=cfg.train.grads_bf16,
             )
         # normalization + label cast run INSIDE the jitted eval step (eager
         # per-batch ops each cost a remote-tunnel dispatch — CLAUDE.md)
+        # --train.eval_tta routes the measured TTA ladder (DESIGN §33/§43)
+        # into in-training eval: early stopping + best-ckpt selection then
+        # optimize the TTA metric. Off by default — measured eval cost is
+        # 1.66x (flip) / 4.75x (ms) / 6.76x (flip+ms) per eval epoch.
         self.eval_step = make_eval_step(
             cfg.model.num_classes, mesh=self.mesh,
             normalize=(cfg.data.normalize_mean, cfg.data.normalize_std),
+            tta=cfg.train.eval_tta,
+            ms_scales=cfg.train.eval_tta_scales,
         )
 
         self.ckpt: Optional[CheckpointManager] = None
@@ -278,7 +286,8 @@ class Trainer:
 
         cfg = self.cfg.train
         if (cfg.lr_schedule == "" and cfg.optimizer == "adam"
-                and cfg.grad_accum <= 1 and cfg.grad_clip_norm <= 0):
+                and cfg.grad_accum <= 1 and cfg.grad_clip_norm <= 0
+                and not cfg.mu_dtype):
             return None
         lr = cfg.lr
         if cfg.lr_schedule == "cosine":
@@ -294,15 +303,32 @@ class Trainer:
             )
         elif cfg.lr_schedule:
             raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+        # reduced-precision first moment / momentum accumulator
+        # (--train.mu_dtype=bfloat16 — the §15 byte lever, DESIGN §46);
+        # validated eagerly so a typo fails at construction, not in jit
+        if cfg.mu_dtype:
+            import jax.numpy as jnp
+
+            mu_dtype = jnp.dtype(cfg.mu_dtype)
+            if mu_dtype not in (jnp.dtype(jnp.bfloat16),
+                                jnp.dtype(jnp.float32)):
+                raise ValueError(
+                    f"train.mu_dtype={cfg.mu_dtype!r}: expected "
+                    "''|'bfloat16'|'float32'"
+                )
+        else:
+            mu_dtype = None
         if cfg.optimizer == "adam":
-            tx = optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+            tx = optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
+                            mu_dtype=mu_dtype)
         elif cfg.optimizer == "adamw":
             tx = optax.adamw(
                 lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
-                weight_decay=cfg.weight_decay,
+                weight_decay=cfg.weight_decay, mu_dtype=mu_dtype,
             )
         elif cfg.optimizer == "sgd":
-            tx = optax.sgd(lr, momentum=cfg.momentum)
+            tx = optax.sgd(lr, momentum=cfg.momentum,
+                           accumulator_dtype=mu_dtype)
         else:
             raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
         if cfg.grad_clip_norm > 0:
