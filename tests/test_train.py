@@ -928,6 +928,35 @@ def test_trainer_eval_tta(mesh8):
         Trainer(bad)
 
 
+def test_ema_horizon_warning(caplog):
+    """A decay whose time constant exceeds the run (the measured §30/§47
+    collapse: 0.999 on 192 steps -> 0.089 mIoU) warns at construction; a
+    horizon-matched decay does not."""
+    import logging
+
+    from tpuseg.train.trainer import Trainer
+
+    base = [
+        "--model.name=unet", "--model.base_filters=4",
+        "--data.width=32", "--data.height=16",
+        "--train.batch_size=8", "--train.epochs=2",
+        "--train.steps_per_epoch=4", "--data.val_split=0.25",
+    ]
+
+    def build(decay):
+        cfg = load_config(base + [f"--train.ema_decay={decay}"])
+        cfg.data.sources = (
+            DatasetSourceConfig(kind="synthetic", num_samples=16, weight=1.0),
+        )
+        with caplog.at_level(logging.WARNING, logger="tpuseg.train.trainer"):
+            caplog.clear()
+            Trainer(cfg)
+        return [r for r in caplog.records if "time constant" in r.message]
+
+    assert build(0.999)      # 8-step run, ~1000-step horizon -> warns
+    assert not build(0.5)    # matched horizon -> silent
+
+
 def test_ema_step_math():
     """ema_params follows ema = d*ema + (1-d)*params exactly, starting from
     a copy of the initial params (SURVEY §2.5 new-component policy: every

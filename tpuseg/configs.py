@@ -162,10 +162,9 @@ class TrainConfig:
     # set, early stopping and best-checkpoint selection optimize the TTA
     # metric (the number deployment will see if it also runs TTA). Off by
     # default: measured eval wall-clock is 1.66x/4.75x/6.76x per epoch
-    # (DESIGN §43b/§43c), and the best-ckpt ordering under plain vs TTA
-    # eval agreed in every measured protocol run, so the default spends
-    # nothing. eval_tta_scales mirrors --ms_scales (0.5,1.5 measured
-    # losing on BOTH axes — DESIGN §43c).
+    # (DESIGN §43b/§43c); the cheap default is one offline TTA eval of the
+    # final checkpoint (tools/eval_miou.py --tta). eval_tta_scales mirrors
+    # --ms_scales (0.5,1.5 measured losing on BOTH axes — DESIGN §43c).
     eval_tta: str = ""
     eval_tta_scales: Tuple[float, ...] = (0.75, 1.25)
     # Stop after this many consecutive evals without val-mIoU improving by

@@ -134,6 +134,25 @@ class Trainer:
             tx=tx,
             ema=cfg.train.ema_decay > 0,
         )
+        if cfg.train.ema_decay > 0:
+            # DESIGN §30/§47 (measured twice): a decay whose ~1/(1-d)-step
+            # time constant exceeds the run leaves the served EMA tree
+            # dominated by the random init — 0.999 on a 192-step protocol
+            # run scores 0.089 mIoU while the raw weights are at 0.977.
+            # eval/best/serving use the EMA tree, so this is a silent
+            # quality cliff; warn instead of guessing a decay for the user.
+            total = cfg.train.epochs * self.steps_per_epoch()
+            horizon = 1.0 / max(1e-9, 1.0 - cfg.train.ema_decay)
+            if total < 3 * horizon:
+                log.warning(
+                    "ema_decay=%g has a ~%d-step time constant but this run "
+                    "is only %d steps: the served EMA tree will lag far "
+                    "behind the raw weights (measured collapse, DESIGN "
+                    "§30/§47). Pick decay so 1/(1-decay) is well under the "
+                    "step count (e.g. %.3g).",
+                    cfg.train.ema_decay, int(horizon), total,
+                    max(0.0, 1.0 - 10.0 / max(total, 10)),
+                )
         if cfg.train.init_checkpoint:
             self._load_init_checkpoint(cfg.train.init_checkpoint)
 
