@@ -7,6 +7,8 @@ batch.
 """
 
 import json
+import os
+
 import numpy as np
 import pytest
 
@@ -926,6 +928,57 @@ def test_trainer_eval_tta(mesh8):
     bad.data.sources = cfg.data.sources
     with pytest.raises(ValueError, match="unknown tta"):
         Trainer(bad)
+
+
+def test_restore_host_cross_topology(tmp_path, mesh8):
+    """Serving must load a checkpoint saved on ANY device mesh (round-5
+    live failure: the single-TPU video pipeline refused the repo's
+    8-device rehearsal checkpoint — orbax replays saved shardings without
+    a template). restore_host() rebuilds the template from the
+    checkpoint's own metadata: same-topology restore matches, and a
+    1-device subprocess (different topology) loads the 8-device save."""
+    import subprocess
+    import sys as _sys
+
+    import jax
+    import numpy as np
+
+    from tpuseg.core.checkpoint import CheckpointManager
+    from tpuseg.core.mesh import replicated_sharding
+
+    w = np.arange(12.0, dtype=np.float32).reshape(3, 4)
+    tree = {"state": {
+        "params": {"w": jax.device_put(w, replicated_sharding(mesh8))},
+        "step": 7,
+    }}
+    ckdir = tmp_path / "ck"
+    with CheckpointManager(str(ckdir)) as mgr:
+        mgr.save(1, tree)
+
+    with CheckpointManager(str(ckdir)) as mgr:
+        same = mgr.restore_host()
+    np.testing.assert_array_equal(same["state"]["params"]["w"], w)
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from tpuseg.core.checkpoint import CheckpointManager\n"
+        f"mgr = CheckpointManager({str(ckdir)!r})\n"
+        "out = mgr.restore_host()\n"
+        "assert jax.device_count() == 1, jax.device_count()\n"
+        "np.testing.assert_array_equal(\n"
+        "    out['state']['params']['w'],\n"
+        "    np.arange(12.0, dtype=np.float32).reshape(3, 4))\n"
+        "print('CROSS_TOPO_OK', int(out['state']['step']))\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [_sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "CROSS_TOPO_OK 7" in res.stdout, res.stdout + res.stderr
 
 
 def test_ema_horizon_warning(caplog):

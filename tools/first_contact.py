@@ -120,13 +120,14 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=30,
                    help="finetune epochs (reference trains 200 from scratch, "
                         "main.py:103; a pretrained encoder needs far fewer)")
-    p.add_argument("--loss", default="ce+lovasz",
-                   help="README guidance (DESIGN §41): lovasz won both "
-                        "protocol arms (+1.73 pts balanced, rare-class "
-                        "rescue under imbalance); ce+lovasz is the "
-                        "label-noise-robust mix and the real-data default "
-                        "here; ce+dice collapses the rare-class rescue at "
-                        "w=0.5 — see BASELINE.md loss zoo rows")
+    p.add_argument("--loss", default="lovasz",
+                   help="default = the COMPOSED-measured winner (DESIGN "
+                        "§47: lovasz + EMA + ms-TTA stacks to +2.44 pts "
+                        "over CE balanced, car 0.00->0.76 imbalanced; "
+                        "pure lovasz beat the weighted ce+lovasz mix on "
+                        "BOTH arms even composed). ce+lovasz is the "
+                        "documented alternative when real-label noise "
+                        "argues for a CE term (within 0.5 pts composed)")
     p.add_argument("--apply_weights", action="store_true",
                    help="pass step 2's suggested class weights to training "
                         "(the measured rescue for heavy imbalance: rare-class "
@@ -144,6 +145,17 @@ def main(argv=None) -> int:
                         "'--train.steps_per_dispatch=8 --train.lr=1e-4')")
     args = p.parse_args(argv)
 
+    if args.apply_weights and args.loss in ("dice", "lovasz"):
+        # the pure IoU surrogates refuse class_weights (no CE term to
+        # weight — tpuseg/train/loss.py); failing here beats failing at
+        # step 4. §47 measured pure lovász BEATING the weighted mix on the
+        # imbalanced arm anyway — weights are the CE-family fallback.
+        p.error(
+            f"--apply_weights cannot be honored by --loss {args.loss} "
+            "(no CE term); use --loss ce+lovasz (weights apply to the CE "
+            "term) or drop --apply_weights — measured comparison in "
+            "DESIGN §47"
+        )
     if args.platform:
         import jax
 

@@ -74,6 +74,53 @@ class CheckpointManager:
             )
         return self._mgr.restore(step)
 
+    def restore_host(self, step: Optional[int] = None) -> Any:
+        """Restore ``step`` as HOST-resident arrays, regardless of the
+        device topology the checkpoint was saved under.
+
+        A plain ``restore()`` without a template replays the SAVED
+        shardings, so a checkpoint written on an N-device mesh refuses to
+        load in an M-device process (orbax: "available devices are
+        different from the devices used to save") — exactly the serving
+        path: train on a pod, serve on one chip. Found live in round 5
+        when the single-TPU video pipeline tried to serve the repo's
+        8-CPU-device rehearsal checkpoint. The template is built from the
+        checkpoint's OWN metadata (shape/dtype only, no shardings), so the
+        result is topology-free; serving callers then ship it with
+        ``device_put_packed`` (one transfer — the CLAUDE.md device-IO
+        rule), which is what they already did.
+        """
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        meta = self._mgr.item_metadata(step)
+        tree = meta.tree if hasattr(meta, "tree") else meta
+
+        # orbax requires a CONCRETE sharding per leaf (an abstract leaf
+        # falls back to the saved sharding file — the very thing that
+        # breaks across topologies): one host-CPU device, always present
+        from tpuseg.core.device_io import ensure_cpu_backend
+
+        ensure_cpu_backend()
+        host = jax.local_devices(backend="cpu")[0]
+        sharding = jax.sharding.SingleDeviceSharding(host)
+
+        def abstract(m):
+            import numpy as np
+
+            return jax.ShapeDtypeStruct(
+                tuple(m.shape), np.dtype(m.dtype), sharding=sharding
+            )
+
+        template = jax.tree.map(abstract, tree)
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        import numpy as np
+
+        return jax.tree.map(np.asarray, restored)
+
     def saved_keys(self, step: Optional[int] = None, subtree=()) -> Optional[set]:
         """Key set of the saved pytree (optionally of a nested dict subtree),
         read from Orbax metadata WITHOUT restoring — lets callers build a

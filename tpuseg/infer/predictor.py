@@ -59,7 +59,12 @@ def load_variables(checkpoint: str, model_name: str, init_fn) -> dict:
         from tpuseg.core.checkpoint import CheckpointManager
 
         with CheckpointManager(checkpoint) as mgr:
-            restored = mgr.restore()
+            # host-resident, topology-free restore: serving must load a
+            # checkpoint saved on ANY device mesh (train on a pod, serve
+            # on one chip) — a plain restore replays the saved shardings
+            # and refuses under a different topology. The caller packs
+            # the tree to its own device(s) in one transfer.
+            restored = mgr.restore_host()
         state = restored["state"] if "state" in restored else restored
         params = state["params"]
         if state.get("ema_params"):
