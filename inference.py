@@ -47,6 +47,7 @@ def main(argv=None) -> int:
         upscale_on_host=cfg.infer.upscale_on_host,
         preprocess_on_host=cfg.infer.preprocess_on_host,
         device_close=cfg.infer.device_close,
+        fetch_pack4=cfg.infer.fetch_pack4,
         normalize_mean=cfg.data.normalize_mean,
         normalize_std=cfg.data.normalize_std,
     )

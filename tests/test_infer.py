@@ -127,6 +127,77 @@ def test_predictor_host_upscale_equals_device_upscale():
         np.testing.assert_array_equal(a, b)
 
 
+def test_predictor_fetch_pack4_bit_exact():
+    """fetch_pack4 (DESIGN §50): two class ids per fetched byte — the
+    nibble pack/unpack round trip must be bit-identical to the plain
+    fetch through Predictor AND VideoPipeline, and the incompatible
+    configs must refuse at construction."""
+    import pytest
+
+    cfg = ModelConfig(name="unet", base_filters=4, num_classes=10)
+    frames = np.random.RandomState(5).randint(
+        0, 255, (4, 60, 100, 3), np.uint8
+    )
+    plain = Predictor(cfg, input_hw=(32, 64), batch_size=4)
+    packed = Predictor(cfg, input_hw=(32, 64), batch_size=4,
+                       fetch_pack4=True)
+    np.testing.assert_array_equal(plain(frames), packed(frames))
+
+    # the raw helper is an exact inverse for ids < 16
+    from tpuseg.infer.predictor import unpack4_host
+
+    ids = np.random.RandomState(1).randint(0, 16, (2, 8, 10), np.uint8)
+    nib = (ids[..., 0::2] << 4) | ids[..., 1::2]
+    np.testing.assert_array_equal(unpack4_host(nib), ids)
+
+    for bad in (
+        dict(device_close=True, upscale_on_host=False),
+        dict(colorize_on_device=True),
+        dict(upscale_on_host=False),
+    ):
+        with pytest.raises(ValueError):
+            Predictor(cfg, input_hw=(32, 64), batch_size=4,
+                      fetch_pack4=True, **bad)
+    with pytest.raises(ValueError):
+        Predictor(ModelConfig(name="unet", base_filters=4, num_classes=20),
+                  input_hw=(32, 64), batch_size=4, fetch_pack4=True)
+
+
+def test_video_pipeline_fetch_pack4(tmp_path):
+    """The batched video pipeline produces identical overlay output with
+    and without the packed fetch (the unpack happens in flush before the
+    host upscale)."""
+    import cv2
+
+    from tpuseg.infer.video import VideoPipeline
+
+    clip = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 24, (100, 60))
+    rng = np.random.RandomState(2)
+    for _ in range(10):
+        w.write(rng.randint(0, 255, (60, 100, 3), np.uint8))
+    w.release()
+
+    cfg = ModelConfig(name="unet", base_filters=4, num_classes=10)
+    outs = []
+    for pack in (False, True):
+        pred = Predictor(cfg, input_hw=(32, 64), batch_size=4,
+                         fetch_pack4=pack)
+        out = str(tmp_path / f"out_{pack}.mp4")
+        stats = VideoPipeline(pred).run(clip, output_path=out)
+        assert stats["frames"] == 10
+        cap = cv2.VideoCapture(out)
+        fr = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            fr.append(f)
+        cap.release()
+        outs.append(np.stack(fr))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_morph_close_matches_cv2():
     """Device 5x5 (and 3x3/7x7) morph-close == cv2.morphologyEx bit-exact,
     including border behavior (cv2's default border is a no-op per pass)."""

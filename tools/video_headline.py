@@ -65,6 +65,10 @@ def main(argv=None) -> int:
     p.add_argument("--no_preprocess_on_host", action="store_true",
                    help="measure the default arm instead of the "
                         "preprocess_on_host protocol arm")
+    p.add_argument("--pack4", action="store_true",
+                   help="fetch_pack4 arm: two class ids per fetched byte "
+                        "— halves the tunnel fetch the gate watches "
+                        "(DESIGN §50)")
     p.add_argument("--write_output", action="store_true",
                    help="write the overlay video each run (the protocol "
                         "includes the encode phase; off only for debugging)")
@@ -105,6 +109,7 @@ def main(argv=None) -> int:
         input_hw=(args.height, args.width),
         batch_size=args.batch,
         preprocess_on_host=not args.no_preprocess_on_host,
+        fetch_pack4=args.pack4,
     )
     pipeline = VideoPipeline(predictor)
 
@@ -144,6 +149,7 @@ def main(argv=None) -> int:
         "frames": attempts[0]["frames"] if attempts else 0,
         "required": args.required,
         "preprocess_on_host": not args.no_preprocess_on_host,
+        "fetch_pack4": bool(args.pack4),
         "earned": len(streak) >= args.required,
     }
     if rec["earned"]:

@@ -254,6 +254,12 @@ class InferConfig:
     # reference's own cv2 INTER_NEAREST, inference.py:68-70 — bit-identical
     # to the device resize): (frame/model)-area-x fewer device->host bytes.
     upscale_on_host: bool = True
+    # pack two class ids per fetched byte (<=16 classes; device nibble
+    # pack, vectorized host unpack): HALVES the §19 model-res class-map
+    # fetch — the tunnel-fetch wall of the gated video headline. Exact
+    # round trip; requires upscale_on_host, excludes device_close/
+    # colorize_on_device. Measured A/B: DESIGN §50.
+    fetch_pack4: bool = False
     # run the reference's 5x5 road morph-close on device, packed into the
     # class map's high bit (zero extra fetch bytes; cv2-bit-exact —
     # tpuseg/ops/morphology.py); only the irregular keep-largest-CC step

@@ -26,6 +26,17 @@ from tpuseg.models.registry import build_model
 from tpuseg.ops.resize import resize_bilinear, resize_nearest
 
 
+def unpack4_host(packed: np.ndarray) -> np.ndarray:
+    """Inverse of the device-side fetch_pack4 nibble pack: [B, h, w/2]
+    uint8 -> [B, h, w] class ids (high nibble = even column). Vectorized
+    numpy shifts — ~ms for a video batch; exact for ids < 16."""
+    b, h, wp = packed.shape
+    out = np.empty((b, h, wp * 2), np.uint8)
+    out[..., 0::2] = packed >> 4
+    out[..., 1::2] = packed & 0x0F
+    return out
+
+
 def upscale_nearest_host(arr: np.ndarray, fh: int, fw: int) -> np.ndarray:
     """cv2 INTER_NEAREST per batch item — the reference's own class-map
     upscale (inference.py:68-70), bit-identical to the device
@@ -101,6 +112,7 @@ class Predictor:
         upscale_on_host: bool = True,
         preprocess_on_host: bool = False,
         device_close: bool = False,
+        fetch_pack4: bool = False,
         mesh=None,
         normalize_mean=None,
         normalize_std=None,
@@ -161,6 +173,33 @@ class Predictor:
                 "artifact serving is single-chip: the exported computation "
                 "carries no sharding annotations for GSPMD to partition"
             )
+        if fetch_pack4:
+            # §19's lesson one step further: with <=16 classes, two pixels
+            # share one fetched byte — the device emits [B, h, w/2] nibble
+            # pairs and the host unpacks (vectorized numpy shifts, ~ms).
+            # Halves the device->host class-map fetch, which IS the wall of
+            # the gated video headline on tunnel-constrained hosts
+            # (DESIGN §49/§50). Exact: ids < 16 round-trip bit-identically.
+            if model_cfg.num_classes > 16:
+                raise ValueError(
+                    f"fetch_pack4 packs class ids into 4 bits; model has "
+                    f"{model_cfg.num_classes} classes (> 16)"
+                )
+            if device_close or colorize_on_device:
+                raise ValueError(
+                    "fetch_pack4 is incompatible with device_close (uses "
+                    "bit 0x80) and colorize_on_device (the 4 B/px color "
+                    "fetch dominates anyway)"
+                )
+            if not upscale_on_host:
+                raise ValueError(
+                    "fetch_pack4 shrinks the model-res fetch; it requires "
+                    "upscale_on_host=True (the frame-res path re-inflates "
+                    "the fetch it exists to shrink)"
+                )
+            if input_hw[1] % 2:
+                raise ValueError("fetch_pack4 needs an even model width")
+        self.fetch_pack4 = fetch_pack4
         if device_close and upscale_on_host:
             # The reference closes the road mask at FRAME resolution
             # (inference.py:76-83, after the nearest upscale); a close at
@@ -303,6 +342,13 @@ class Predictor:
                 )
             classes = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
             if (fh, fw) == (mh, mw):
+                if self.fetch_pack4:
+                    # two 4-bit ids per fetched byte (high nibble = even
+                    # column): halves the device->host class-map bytes
+                    return (
+                        (classes[..., 0::2] << jnp.uint8(4))
+                        | classes[..., 1::2]
+                    )
                 return pack_close(classes)
             # nearest upscale back to frame size (inference.py:68-70)
             return pack_close(resize_nearest(classes, fh, fw))
@@ -362,6 +408,8 @@ class Predictor:
                 packed = upscale_nearest_host(packed, fh, fw)
             return classes, packed
         classes = np.asarray(out)
+        if self.fetch_pack4:
+            classes = unpack4_host(classes)
         if self.upscale_on_host and classes.shape[1:] != (fh, fw):
             classes = upscale_nearest_host(classes, fh, fw)
         return classes

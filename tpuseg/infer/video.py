@@ -201,6 +201,14 @@ class VideoPipeline:
                 classes = np.asarray(dev_out)
             phases["fetch_wait"] += time.perf_counter() - t
             fh, fw = frames_bgr[0].shape[:2]
+            if self.predictor.fetch_pack4:
+                # fetched nibble pairs (half the tunnel bytes of the §19
+                # model-res fetch) -> class ids; host cost is numpy shifts
+                t = time.perf_counter()
+                from tpuseg.infer.predictor import unpack4_host
+
+                classes = unpack4_host(classes)
+                phases["post"] += time.perf_counter() - t
             if classes.shape[1:] != (fh, fw):
                 # upscale_on_host Predictor: the fetch was model-res (7x
                 # fewer tunnel bytes); cv2 INTER_NEAREST here is
