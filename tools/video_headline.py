@@ -65,10 +65,15 @@ def main(argv=None) -> int:
     p.add_argument("--no_preprocess_on_host", action="store_true",
                    help="measure the default arm instead of the "
                         "preprocess_on_host protocol arm")
-    p.add_argument("--pack4", action="store_true",
-                   help="fetch_pack4 arm: two class ids per fetched byte "
-                        "— halves the tunnel fetch the gate watches "
+    p.add_argument("--pack4", dest="pack4", action="store_true",
+                   default=True,
+                   help="fetch_pack4 arm (PROTOCOL DEFAULT — it earned "
+                        "the round-5 headline): two class ids per fetched "
+                        "byte, halving the tunnel fetch the gate watches "
                         "(DESIGN §50)")
+    p.add_argument("--no_pack4", dest="pack4", action="store_false",
+                   help="measure the unpacked-fetch arm (1 gated run in "
+                        "27 attempts across the round-5 windows)")
     p.add_argument("--write_output", action="store_true",
                    help="write the overlay video each run (the protocol "
                         "includes the encode phase; off only for debugging)")
