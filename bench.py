@@ -162,6 +162,11 @@ def _init_stall_bar() -> int:
         float(rec["phases"]["backend_connect"])
         for rec in _history_records()
         if not rec.get("stale")
+        # a stalled-but-completed child's record (init_stalled: true, e.g.
+        # the 674 s §37 connect of 2026-08-21) must NOT feed the bar: one
+        # stall would otherwise inflate it to 1.5x the stall and blind the
+        # detector for the next ten runs (observed live before this filter)
+        and not rec.get("init_stalled")
         and isinstance(rec.get("phases"), dict)
         and rec["phases"].get("backend_connect") is not None
     ][-10:]

@@ -235,9 +235,13 @@ def test_adaptive_init_stall_bar(monkeypatch, tmp_path):
     ])
     assert m.INIT_STALL_S == 215
 
-    # stale records and records without phases don't move the bar
+    # stale records, STALLED records (the feedback loop observed live:
+    # a 674 s init_stalled connect would otherwise set a ~1011 s bar and
+    # blind the detector), and records without phases don't move the bar
     m = bar_with([
         {**base, "phases": {"backend_connect": 500.0}, "stale": True},
+        {**base, "phases": {"backend_connect": 674.3},
+         "init_stalled": True, "init_stall_bar": 215},
         {**base, "phases": {"backend_connect": 40.0}},
         base,
     ])
