@@ -61,13 +61,13 @@ def main(argv=None) -> int:
                    help="multi-scale TTA factors for --tta ms|flip+ms")
     p.add_argument("--mu_dtype", default="",
                    help="storage dtype for Adam's first moment (optax "
-                        "mu_dtype; '' = fp32 parity, 'bfloat16' halves "
-                        "that tree's HBM traffic — the last §15 byte "
-                        "lever, DESIGN §46)")
+                        "mu_dtype; '' = fp32 parity; 'bfloat16' measured "
+                        "NOISE on this model — the mu tree is 0.04% of "
+                        "step traffic, DESIGN §46)")
     p.add_argument("--grads_bf16", action="store_true",
                    help="cast gradients to bf16 between backward and the "
-                        "optimizer update (halves materialized-gradient "
-                        "traffic; DESIGN §46)")
+                        "optimizer update (measured LOSING 4-6%: breaks "
+                        "backward->Adam fusion; DESIGN §46)")
     p.add_argument("--bf16_head", action="store_true",
                    help="run the final x2 upsample contraction in the "
                         "compute dtype (model.head_fp32=false): halves the "

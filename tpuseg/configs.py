@@ -117,15 +117,17 @@ class TrainConfig:
     # Reduced-precision optimizer state: storage dtype for Adam/AdamW's
     # first moment (optax mu_dtype) or SGD's momentum accumulator.
     # "" = fp32 (the reference-parity default, torch Adam state is fp32 —
-    # src/train.py:37-39). "bfloat16" halves that tree's HBM traffic on a
-    # bandwidth-bound step (the last §15 byte lever; measured verdict in
-    # DESIGN §46). The second moment stays fp32 (optax has no nu_dtype;
-    # nu's dynamic range is also the fragile one under bf16's 8 mantissa
-    # bits).
+    # src/train.py:37-39). MEASURED VERDICT (DESIGN §46): throughput NOISE
+    # on this model (-0.3%/-0.0%) — the moment tree is 0.04% of the step's
+    # HBM traffic, which is activations, not params. Quality-neutral both
+    # protocol arms. Ships as a knob for param-dominated models, not a
+    # speed lever here. The second moment stays fp32 (optax has no
+    # nu_dtype; nu is also the fragile tree under bf16's 8 mantissa bits).
     mu_dtype: str = ""
-    # Cast gradients to bf16 between backward and optimizer update: halves
-    # the materialized-gradient HBM traffic (write at backward, read at
-    # update). Off by default (fp32 grads = parity). DESIGN §46.
+    # Cast gradients to bf16 between backward and optimizer update.
+    # MEASURED LOSING 4-6% (DESIGN §46): the cast breaks backward->Adam
+    # fusion, and the grad bytes it halves were never the wall. Off by
+    # default on both parity AND speed grounds; quality-neutral.
     grads_bf16: bool = False
     weight_decay: float = 1e-4           # adamw only
     momentum: float = 0.9                # sgd only
