@@ -393,6 +393,24 @@ def test_first_contact_chain_end_to_end(monkeypatch, capsys, tmp_path):
     assert (ckpt / "best").is_dir()
 
 
+def test_first_contact_apply_weights_refuses_pure_surrogate(
+    monkeypatch, capsys, tmp_path
+):
+    """--apply_weights + the pure-lovász round-5 default loss must fail at
+    ARGUMENT time with guidance (the loss has no CE term to weight;
+    silently training unweighted, or crashing at step 4, would both
+    defeat the measured remedy — DESIGN §47)."""
+    with pytest.raises(SystemExit) as exc:
+        _run_tool(
+            "first_contact",
+            ["--data_dir", str(tmp_path), "--apply_weights"],
+            monkeypatch, tmp_path,
+        )
+    assert exc.value.code == 2  # argparse error, before any step ran
+    err = capsys.readouterr().err
+    assert "ce+lovasz" in err and "apply_weights" in err
+
+
 def test_convergence_sweep_smoke(monkeypatch, capsys, tmp_path):
     """The protocol sweep runner (tools/convergence_sweep.py): a 2-run grid
     drives end-to-end in one process, writes per-run summaries, and a
@@ -464,3 +482,22 @@ def test_convergence_sweep_list_and_validation(monkeypatch, capsys, tmp_path):
     with pytest.raises(SystemExit):
         _run_tool("convergence_sweep", ["--runs", str(tmp_path / "nope"),
                                         "--list"], monkeypatch, tmp_path)
+
+    # the round-5 composed_recipe preset: 3-element entries carry their
+    # eval-arm tag through --list, and malformed opts are rejected
+    rc = _run_tool(
+        "convergence_sweep", ["--preset", "composed_recipe", "--list"],
+        monkeypatch, tmp_path,
+    )
+    assert rc == 0
+    rows = {r["name"]: r for r in
+            (json.loads(l) for l in capsys.readouterr().out.splitlines())}
+    assert {"ce", "lovasz", "lovasz_ema", "ce_lovasz_w_ema_imb"} <= set(rows)
+    assert rows["lovasz_imb"]["eval"] == "imb"
+    assert "eval" not in rows["lovasz"]
+
+    bad = tmp_path / "bad_runs.json"
+    bad.write_text(json.dumps([["x", [], "not-a-dict"]]))
+    with pytest.raises(SystemExit):
+        _run_tool("convergence_sweep", ["--runs", str(bad), "--list"],
+                  monkeypatch, tmp_path)
